@@ -1,0 +1,57 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+    from sqlrs_spark.registry import all_specs
+    from sqlrs_spark.session import build_spark
+
+    spark = build_spark("sqlrs_spark_bench", cores=cpus, shuffle_partitions=cpus)
+    specs = [s for s in all_specs().values() if s.bench]
+
+    # warm the JVM + parquet footers once so the numbers measure query
+    # execution, not session startup
+    for s in specs[:1]:
+        s.fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for s in specs:
+        t0 = time.perf_counter()
+        df = s.fn(spark, sf_dir)
+        n = df.count() if "count_rows" in s.tags else len(df.collect())
+        dt = time.perf_counter() - t0
+        timings[s.name] = round(dt, 4)
+        print(f"# {s.name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,325 @@
+"""Beyond-reference relational extensions that Spark provides natively.
+
+The reference's SURVEY notes these as "free if we extend": semi/anti joins
+(SURVEY §2.3 join types), set operations (§2.7), window functions (§2.5),
+plus the expression families the reference lacks (§2.8: LIKE/IN/BETWEEN/
+CASE/IS NULL, string & math functions). They are part of the complete
+engine surface and each carries a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sqlrs_spark.operators.common import as_double, dec2, t
+from sqlrs_spark.registry import register
+
+
+@register(
+    "x01_semi_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_cust_with_orders
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("extension", "join"),
+)
+def x01_semi_join(spark, sf_dir):
+    """LEFT SEMI join (EXISTS) — not in the reference (Inner/Left/Right/Full/
+    Cross only, src/binder/table/join.rs:18-24); native in Spark."""
+    cust = t(spark, sf_dir, "customer")
+    big_orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return (
+        cust.join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust_with_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "x02_anti_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_cust_no_orders
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("extension", "join"),
+)
+def x02_anti_join(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS). o_custkey is non-null so NOT IN ≡ anti."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust_no_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "x03_set_ops",
+    oracle="""
+    SELECT 'union' AS op, nk FROM (
+        SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect', nk FROM (
+        SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except', nk FROM (
+        SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+    ORDER BY op, nk
+    """,
+    tags=("extension", "setop"),
+)
+def x03_set_ops(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT — unimplemented in the reference
+    (bind_select_node.rs:42 todo!); Spark natives."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    u = c.union(s).distinct().select(F.lit("union").alias("op"), "nk")
+    i = c.intersect(s).select(F.lit("intersect").alias("op"), "nk")
+    e = c.distinct().subtract(s.distinct()).select(F.lit("except").alias("op"), "nk")
+    return u.unionAll(i).unionAll(e).orderBy("op", "nk")
+
+
+@register(
+    "x04_window_topk",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    ORDER BY c_mktsegment, rn
+    """,
+    tags=("extension", "window"),
+)
+def x04_window_topk(spark, sf_dir):
+    """Top-K per group via ROW_NUMBER window — no window operator exists in
+    the reference (SURVEY §2.5); Spark Window is the idiomatic scale path
+    (partial sort within hash partitions, no global sort)."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@register(
+    "x05_expressions",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_size BETWEEN 10 AND 20 THEN 'mid'
+                WHEN p_size < 10 THEN 'small' ELSE 'large' END AS size_class,
+           (p_brand LIKE 'Brand#1%')                            AS brand1,
+           (p_type IN ('a', 'b'))                               AS ab_type,
+           (p_retailprice IS NULL)                              AS price_null,
+           UPPER(SUBSTR(p_name, 1, 4))                          AS name4,
+           ABS(p_size - 25)                                     AS size_dist,
+           ROUND(SQRT(p_retailprice::DOUBLE), 4)                AS sqrt_price
+    FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
+    """,
+    tags=("extension", "expr"),
+)
+def x05_expressions(spark, sf_dir):
+    """CASE/LIKE/IN/BETWEEN/IS NULL + string/math scalar functions — all
+    listed as absent from the reference (SURVEY §2.8 'Not in reference')."""
+    part = t(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.when(F.col("p_size").between(10, 20), "mid")
+            .when(F.col("p_size") < 10, "small")
+            .otherwise("large")
+            .alias("size_class"),
+            F.col("p_brand").like("Brand#1%").alias("brand1"),
+            F.col("p_type").isin("a", "b").alias("ab_type"),
+            F.col("p_retailprice").isNull().alias("price_null"),
+            F.upper(F.substring("p_name", 1, 4)).alias("name4"),
+            F.abs(F.col("p_size") - 25).alias("size_dist"),
+            F.round(F.sqrt(F.col("p_retailprice")), 4).alias("sqrt_price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "x06_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    tags=("extension", "agg"),
+)
+def x06_rollup(spark, sf_dir):
+    """GROUPING SETS / ROLLUP — absent from the reference (SURVEY §2.4)."""
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@register(
+    "x07_conditional_pivot",
+    oracle="""
+    SELECT user_id % 100 AS user_bucket,
+           COUNT(*) FILTER (event_type = 'click')    AS clicks,
+           COUNT(*) FILTER (event_type = 'view')     AS views,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchases,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN value::DECIMAL(18,4) ELSE 0 END) AS DOUBLE) AS purchase_value
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "agg", "events"),
+)
+def x07_conditional_pivot(spark, sf_dir):
+    """Pivot-style conditional aggregation over the events stream table."""
+    ev = t(spark, sf_dir, "events")
+    val4 = F.col("value").cast("decimal(18,4)")
+    return (
+        ev.groupBy((F.col("user_id") % 100).alias("user_bucket"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+            as_double(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", val4).otherwise(
+                        F.lit("0").cast("decimal(18,4)")
+                    )
+                )
+            ).alias("purchase_value"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+@register(
+    "x08_json_extract",
+    oracle=r"""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+    FROM events WHERE event_id < 100 ORDER BY event_id
+    """,
+    tags=("extension", "expr", "events"),
+)
+def x08_json_extract(spark, sf_dir):
+    """Semi-structured extraction from the events.props JSON string.
+
+    regexp_extract keeps the oracle portable (Java regex vs RE2 agree on
+    this pattern); production path would be get_json_object/from_json."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_id") < 100)
+        .select(
+            "event_id",
+            F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("bigint").alias("k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "x09_events_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(value::DECIMAL(18,4)) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("extension", "events", "datetime"),
+)
+def x09_events_tumbling(spark, sf_dir):
+    """Tumbling 1-hour window aggregation (batch form; streaming twin in
+    sqlrs_spark/streaming/ops.py runs the same plan incrementally)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            as_double(F.sum(F.col("value").cast("decimal(18,4)"))).alias("total_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@register(
+    "x10_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    tags=("extension", "events", "window"),
+)
+def x10_sessionization(spark, sf_dir):
+    """Sessionization: lag-gap flag + running sum (classic Spark pattern).
+    Scale: both windows partition by user_id — one shuffle, no global sort."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    lag_ts = F.lag("ts").over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            lag_ts.isNull()
+            | ((F.col("ts").cast("long") - lag_ts.cast("long")) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_s"
+            ),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -1,0 +1,629 @@
+"""Core relational surface — the reference's v1+v2 operator inventory
+(SURVEY.md §2) expressed as idiomatic Spark DataFrame plans.
+
+Per-operator reference citations are in each docstring. Every query here
+has a DuckDB oracle; money aggregates go through exact DECIMAL(18,2) so the
+value-hash is stable across engines and partitionings (see common.dec2).
+
+Scale notes (100 TB design):
+- All fact-table plans are scan→filter→partial-agg→shuffle→final-agg;
+  filters/projections push into the parquet scan (verified in
+  tests/test_plans.py).
+- Dimension joins (region/nation/customer at TPC-H ratios) are broadcast;
+  fact-fact joins shuffle on the join key and rely on AQE for skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sqlrs_spark.operators.common import as_double, dec2, t
+from sqlrs_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (reference: src/executor/aggregate/*.rs — SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE)                           AS sum_qty,
+           CAST(SUM(l_extendedprice::DECIMAL(18,2)) AS DOUBLE)       AS sum_base_price,
+           CAST(SUM(l_extendedprice::DECIMAL(18,2)
+                    * (1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE)
+                                                                     AS sum_disc_price,
+           CAST(SUM(l_extendedprice::DECIMAL(18,2)
+                    * (1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+                    * (1.00::DECIMAL(18,2) + l_tax::DECIMAL(18,2))) AS DOUBLE)
+                                                                     AS sum_charge,
+           MIN(l_quantity)                                           AS min_qty,
+           MAX(l_extendedprice)                                      AS max_price,
+           COUNT(*)                                                  AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("core", "agg"),
+    bench=True,
+)
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: filter → hash agg on 2 keys → order.
+
+    Reference ops: Filter (src/executor/filter.rs:13-26), HashAgg
+    (src/executor/aggregate/hash_agg.rs:21-150), sum/min/max/count
+    accumulators (sum.rs, min_max.rs, count.rs), Order
+    (src/executor/order.rs:13-67). Spark runs this as partial agg →
+    shuffle(2-key) → final agg; 4 groups, so the shuffle is tiny at any SF.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    one = F.lit("1.00").cast("decimal(18,2)")
+    disc_price = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            as_double(F.sum(dec2("l_extendedprice"))).alias("sum_base_price"),
+            as_double(F.sum(disc_price)).alias("sum_disc_price"),
+            as_double(F.sum(disc_price * (one + dec2("l_tax")))).alias("sum_charge"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q06_simple_agg",
+    oracle="""
+    SELECT CAST(SUM(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2)) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24.0
+    """,
+    tags=("core", "agg"),
+    bench=True,
+)
+def q06_simple_agg(spark, sf_dir):
+    """TPC-H Q6 shape: conjunctive filter → global agg (no GROUP BY).
+
+    Reference: SimpleAgg (src/executor/aggregate/simple_agg.rs:15-65);
+    physical choice group_by-empty→SimpleAgg (src/optimizer/physical_rewriter.rs:49-62).
+    All four predicates push down to the parquet scan.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            as_double(F.sum(dec2("l_extendedprice") * dec2("l_discount"))).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q14_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey)                    AS n_supp,
+           CAST(SUM(DISTINCT l_quantity) AS DOUBLE)     AS sum_dist_qty,
+           COUNT(l_orderkey)                            AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("core", "agg"),
+)
+def q14_agg_distinct(spark, sf_dir):
+    """DISTINCT aggregates: count(distinct), sum(distinct).
+
+    Reference: DistinctCount (src/executor/aggregate/count.rs:31-58),
+    DistinctSum (sum.rs:99-132) — HashSet-based exact distincts. Spark's
+    exact distinct agg expands + reshuffles; quantities are integral doubles
+    so sum(distinct) is exact.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            as_double(F.sum_distinct(F.col("l_quantity"))).alias("sum_dist_qty"),
+            F.count("l_orderkey").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q16_minmax_strings",
+    oracle="""
+    SELECT o_orderstatus,
+           MIN(o_orderpriority) AS min_prio,
+           MAX(o_orderpriority) AS max_prio,
+           MIN(o_totalprice)    AS min_price,
+           MAX(o_totalprice)    AS max_price,
+           COUNT(*)             AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("core", "agg"),
+)
+def q16_minmax_strings(spark, sf_dir):
+    """min/max over Utf8 strings and doubles (src/executor/aggregate/min_max.rs:111-157)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min("o_orderpriority").alias("min_prio"),
+            F.max("o_orderpriority").alias("max_prio"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scan / filter / project (SURVEY §2.1, §2.2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q02_filter_project",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 150000.0
+    """,
+    tags=("core", "scan"),
+)
+def q02_filter_project(spark, sf_dir):
+    """Scan → filter → project; both predicate and 3-column pruning reach the
+    parquet reader (reference: filter src/executor/filter.rs; projection
+    pushdown rule src/optimizer/rules/column_pruning.rs:46-108)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000.0))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "q18_derived_table",
+    oracle="""
+    SELECT big.o_custkey AS custkey, COUNT(*) AS n_big, CAST(SUM(big.tp) AS DOUBLE) AS total
+    FROM (
+      SELECT o_custkey, o_totalprice::DECIMAL(18,2) AS tp
+      FROM orders WHERE o_totalprice > 100000.0
+    ) big
+    GROUP BY big.o_custkey
+    HAVING COUNT(*) >= 3
+    ORDER BY total DESC, custkey
+    LIMIT 50
+    """,
+    tags=("core", "scan"),
+)
+def q18_derived_table(spark, sf_dir):
+    """Derived table (FROM (subquery) alias — src/binder/table/subquery.rs:10-59)
+    with aggregation over it; HAVING is the Spark-free extension noted in
+    SURVEY §2.4."""
+    orders = t(spark, sf_dir, "orders")
+    big = (
+        orders.filter(F.col("o_totalprice") > 100000.0)
+        .select(F.col("o_custkey"), dec2("o_totalprice").alias("tp"))
+        .alias("big")
+    )
+    return (
+        big.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_big"), as_double(F.sum("tp")).alias("total"))
+        .filter(F.col("n_big") >= 3)
+        .orderBy(F.col("total").desc(), F.col("custkey"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (reference: src/executor/join/*.rs — SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(l_extendedprice::DECIMAL(18,2)
+                    * (1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("core", "join"),
+    bench=True,
+)
+def q03_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way equi join → agg → top-k.
+
+    Reference: hash join (src/executor/join/hash_join.rs:16-323), left-deep
+    multi-join planning (src/planner/select.rs:51-80). Spark: customer side
+    is the small dimension → broadcast hint; orders⋈lineitem shuffles on
+    orderkey; ORDER+LIMIT fuses to TakeOrderedAndProject (SURVEY §2.6).
+    """
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = dec2("l_extendedprice") * (
+        F.lit("1.00").cast("decimal(18,2)") - dec2("l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(as_double(F.sum(revenue)).alias("revenue"))
+        .select(
+            "l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_local_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(l_extendedprice::DECIMAL(18,2)
+                    * (1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("core", "join"),
+    bench=True,
+)
+def q05_local_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join with a two-column equi condition.
+
+    Broadcast the dimension chain (region⋈nation⋈supplier is tiny at TPC-H
+    ratios); the two fact tables shuffle once on orderkey. The
+    (l_suppkey, c_nationkey)=(s_suppkey, s_nationkey) pair exercises
+    multi-pair JoinCondition::On (src/binder/table/join.rs:40-48).
+    """
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = dec2("l_extendedprice") * (
+        F.lit("1.00").cast("decimal(18,2)") - dec2("l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey))
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(as_double(F.sum(revenue)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "q17_join_residual",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n, CAST(SUM(l_quantity) AS DOUBLE) AS qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    tags=("core", "join"),
+)
+def q17_join_residual(spark, sf_dir):
+    """Inner hash join with a non-equi residual predicate — the equi pair is
+    split from the residual at bind time in the reference
+    (src/binder/table/join.rs:89-227, hash_join.rs:47-127); Catalyst does the
+    same split internally. part is broadcast-size."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(part),
+            (li.l_partkey == part.p_partkey) & (li.l_quantity > part.p_size),
+        )
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), as_double(F.sum("l_quantity")).alias("qty"))
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "q07_join_left",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*)          AS n_rows,
+           COUNT(l.l_orderkey) AS n_matched
+    FROM orders o
+    LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 45.0
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+    tags=("core", "join"),
+)
+def q07_join_left(spark, sf_dir):
+    """LEFT OUTER join with residual inside ON: unmatched left rows survive
+    with NULL right columns (hash_join.rs:194-206 bitmap tracking;
+    keep-unmatched residual handling hash_join.rs:47-127). count(col) counts
+    only matches — NULL-skipping count (count.rs:10-29)."""
+    orders = t(spark, sf_dir, "orders").alias("o")
+    li = t(spark, sf_dir, "lineitem").alias("l")
+    return (
+        orders.join(
+            li,
+            (F.col("o.o_orderkey") == F.col("l.l_orderkey")) & (F.col("l.l_quantity") > 45.0),
+            "left",
+        )
+        .groupBy("o.o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), F.count("l.l_orderkey").alias("n_matched"))
+        .orderBy("o.o_orderstatus")
+    )
+
+
+@register(
+    "q08_join_right",
+    oracle="""
+    SELECT o.o_orderstatus, COUNT(*) AS n_rows, COUNT(o.o_orderkey) AS n_matched
+    FROM lineitem l
+    RIGHT JOIN orders o ON l.l_orderkey = o.o_orderkey AND l.l_quantity > 45.0
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+    tags=("core", "join"),
+)
+def q08_join_right(spark, sf_dir):
+    """RIGHT OUTER join — mirror of q07 (hash_join.rs right-side bitmap path)."""
+    orders = t(spark, sf_dir, "orders").alias("o")
+    li = t(spark, sf_dir, "lineitem").alias("l")
+    return (
+        li.join(
+            orders,
+            (F.col("l.l_orderkey") == F.col("o.o_orderkey")) & (F.col("l.l_quantity") > 45.0),
+            "right",
+        )
+        .groupBy("o.o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), F.count("o.o_orderkey").alias("n_matched"))
+        .orderBy("o.o_orderstatus")
+    )
+
+
+@register(
+    "q09_join_full",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+    FROM c FULL JOIN s ON c.nk = s.nk
+    ORDER BY nationkey
+    """,
+    tags=("core", "join"),
+)
+def q09_join_full(spark, sf_dir):
+    """FULL OUTER join of two aggregates; nullable columns on both sides
+    (hash_join.rs full-outer path :294-322)."""
+    cust = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+        .alias("c")
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+        .alias("s")
+    )
+    return (
+        cust.join(supp, F.col("c.nk") == F.col("s.nk"), "full")
+        .select(
+            F.coalesce(F.col("c.nk"), F.col("s.nk")).alias("nationkey"),
+            "n_cust",
+            "n_supp",
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "q10_cross_join",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    WHERE r_regionkey <> n_regionkey
+    ORDER BY r_name, n_name
+    """,
+    tags=("core", "join"),
+)
+def q10_cross_join(spark, sf_dir):
+    """Cross join (src/executor/join/cross_join.rs:15-57) + non-equi filter.
+    Spark: BroadcastNestedLoopJoin — correct physical pick for small×small."""
+    region = t(spark, sf_dir, "region")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        region.crossJoin(nation)
+        .filter(F.col("r_regionkey") != F.col("n_regionkey"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (src/binder/table/subquery.rs — SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q11_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT MAX(c_acctbal) FROM customer) * 0.99
+    ORDER BY c_custkey
+    """,
+    tags=("core", "subquery"),
+)
+def q11_scalar_subquery(spark, sf_dir):
+    """Uncorrelated scalar subquery in WHERE — the reference rewrites it to a
+    cross join against the 1-row agg (src/binder/table/subquery.rs:99-167).
+    We express it the same way in the DataFrame API (broadcast 1-row cross
+    join → Catalyst folds it); Spark SQL also supports the subquery natively.
+    """
+    cust = t(spark, sf_dir, "customer")
+    max_bal = cust.agg(F.max("c_acctbal").alias("__maxbal"))
+    return (
+        cust.crossJoin(F.broadcast(max_bal))
+        .filter(F.col("c_acctbal") > F.col("__maxbal") * 0.99)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q04_priority_count",
+    oracle="""
+    SELECT o_orderpriority, COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("core", "join", "agg"),
+)
+def q04_priority_count(spark, sf_dir):
+    """Join + column-vs-column predicate + distinct count by priority."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_orderkey").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct / order / limit / offset (SURVEY §2.4 DISTINCT, §2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q12_distinct",
+    oracle="""
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    tags=("core",),
+)
+def q12_distinct(spark, sf_dir):
+    """SELECT DISTINCT — planned as group-by-all-columns in the reference
+    (src/planner/select.rs:29-32); Spark's dropDuplicates is the same plan."""
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+@register(
+    "q13_order_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+    tags=("core",),
+)
+def q13_order_limit_offset(spark, sf_dir):
+    """Multi-key sort + limit/offset (src/executor/order.rs:13-67,
+    limit.rs:10-81). Deterministic via the o_orderkey tiebreak."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(10)
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date / interval arithmetic (src/function/scalar/arithmetic_function.rs:73-126)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q15_date_interval",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE)                       AS orderdate,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)    AS plus_3m,
+           CAST(o_orderdate - INTERVAL 90 DAY AS DATE)     AS minus_90d,
+           CAST(o_orderdate + INTERVAL 1 YEAR AS DATE)     AS plus_1y
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-02-01 00:00:00'
+    ORDER BY o_orderkey
+    """,
+    tags=("core", "datetime"),
+)
+def q15_date_interval(spark, sf_dir):
+    """date ± INTERVAL (YearMonth and DayTime) — reference tests/slt/time.slt;
+    arithmetic impl src/function/scalar/arithmetic_function.rs:73-126."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-02-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).cast("date").alias("plus_3m"),
+            (F.col("o_orderdate") - F.expr("INTERVAL 90 DAY")).cast("date").alias("minus_90d"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 1 YEAR")).cast("date").alias("plus_1y"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -1,0 +1,246 @@
+"""Session layer: SparkSession construction + the sqlrs-style SQL frontend.
+
+The reference exposes an embedded session (``Database::run`` at
+src/db.rs:107-150 v1; ``ClientContext::query`` at
+src/main_entry/client_context.rs:34-102 v2).  Here the engine is Spark, so
+the session is a thin wrapper over SparkSession that reproduces the
+reference's *frontend* conveniences:
+
+- ``load_csv(name, path)``       — v1 ``\\load csv`` (src/cli.rs:119-167)
+- ``read_csv(path, header=, delim=)`` — v2 table function
+  (src/function/table/read_csv.rs:44-199)
+- replacement scan: ``SELECT * FROM 't.csv'`` rewrites to a CSV read
+  (src/planner_v2/binder/tableref/bind_base_table_ref.rs:97-126)
+- ``sqlrs_tables()`` / ``sqlrs_columns()`` catalog table functions
+  (src/function/table/sqlrs_tables.rs:90-183, sqlrs_columns.rs)
+- ``COPY t FROM 'f.csv'`` sugar → INSERT INTO t SELECT * FROM read_csv
+  (src/planner_v2/binder/statement/bind_copy.rs:9-56)
+- ``show tables`` / ``describe t`` / ``explain q``
+  (src/planner_v2/binder/statement/bind_show_tables.rs:7-19 et al.)
+
+Everything relational (SELECT/CREATE/INSERT/joins/aggs/...) is delegated
+verbatim to Spark SQL — Catalyst covers the reference's whole optimizer rule
+set natively (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_spark(
+    app_name: str = "sqlrs_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a local SparkSession tuned for analytics.
+
+    Local mode is for testing only; the configuration choices (AQE,
+    coalesced/skew-handled shuffles, UTC session time, Arrow transfers) are
+    the ones that matter on a real multi-executor cluster too.
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    shuffle_partitions = shuffle_partitions or max(cores, 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf on a session we did not build.
+
+    The driver hands us an already-built SparkSession; pin the conf that
+    affects result *values* (time zone ↔ duckdb naive timestamps) and the
+    adaptive execution flags that are safe to set at runtime.
+    """
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime-settable on some builds; values then depend on driver conf
+    return spark
+
+
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+(?P<table>[A-Za-z_][\w.]*)\s+FROM\s+'(?P<path>[^']+)'"
+    r"(?:\s*\(\s*(?P<opts>[^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_READ_CSV_RE = re.compile(
+    r"read_csv\s*\(\s*'(?P<path>[^']+)'\s*(?P<args>(?:,\s*\w+\s*=>\s*[^,)]+)*)\)",
+    re.IGNORECASE,
+)
+_REPLACEMENT_SCAN_RE = re.compile(
+    r"(?P<kw>\bFROM|\bJOIN)\s+'(?P<path>[^']+\.(?:csv|parquet|json))'", re.IGNORECASE
+)
+_SHOW_TABLES_RE = re.compile(r"^\s*show\s+tables\s*;?\s*$", re.IGNORECASE)
+_DESCRIBE_RE = re.compile(r"^\s*describe\s+(?P<table>[A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE)
+_EXPLAIN_RE = re.compile(r"^\s*explain\s+(?P<query>.+)$", re.IGNORECASE | re.DOTALL)
+_SQLRS_TABLES_RE = re.compile(r"\bsqlrs_tables\s*\(\s*\)", re.IGNORECASE)
+_SQLRS_COLUMNS_RE = re.compile(r"\bsqlrs_columns\s*\(\s*\)", re.IGNORECASE)
+
+
+class Session:
+    """sqlrs-compatible SQL session on top of Spark.
+
+    >>> s = Session(spark)
+    >>> s.load_csv("employee", "tests/fixtures/employee.csv")
+    >>> s.sql("select first_name from employee where last_name = 'Hopkins'")
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = configure_runtime(spark)
+
+    # -- v1 CLI surface (src/cli.rs:119-167) --------------------------------
+
+    def load_csv(self, name: str, path: str, header: bool = True, delim: str = ",") -> DataFrame:
+        """``\\load csv name path`` — register a CSV file as a table."""
+        df = self.read_csv(path, header=header, delim=delim)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def read_csv(self, path: str, header: bool = True, delim: str = ",") -> DataFrame:
+        """v2 ``read_csv(file, header=>bool, delim=>char)`` table function.
+
+        Schema inference mirrors the reference (≤1024-row inference window,
+        src/function/table/read_csv.rs:97-109); Spark's sampled inference is
+        the scale-safe equivalent.
+        """
+        return (
+            self.spark.read.option("header", str(header).lower())
+            .option("sep", delim)
+            .option("inferSchema", "true")
+            .option("nullValue", "")
+            .csv(path)
+        )
+
+    # -- catalog table functions --------------------------------------------
+
+    def sqlrs_tables(self) -> DataFrame:
+        """(schema_name, schema_oid, table_name, table_oid) like the reference."""
+        rows = [
+            (t.namespace[0] if t.namespace else "main", 0, t.name, i)
+            for i, t in enumerate(self.spark.catalog.listTables())
+        ]
+        return self.spark.createDataFrame(
+            rows or [("main", 0, "", -1)],
+            "schema_name string, schema_oid long, table_name string, table_oid long",
+        ).filter(F.col("table_oid") >= 0)
+
+    def sqlrs_columns(self, table: str | None = None) -> DataFrame:
+        rows = []
+        for t in self.spark.catalog.listTables():
+            if table and t.name != table:
+                continue
+            for c in self.spark.catalog.listColumns(t.name):
+                rows.append((t.name, c.name, c.dataType, c.nullable))
+        return self.spark.createDataFrame(
+            rows or [("", "", "", True)],
+            "table_name string, column_name string, column_type string, nullable boolean",
+        ).filter(F.col("table_name") != "")
+
+    # -- SQL frontend ---------------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        """Run a statement with the reference's frontend sugar applied."""
+        q = query.strip()
+
+        m = _SHOW_TABLES_RE.match(q)
+        if m:
+            # bind_show_tables.rs:7-19 rewrites to a sqlrs_tables() projection
+            return self.sqlrs_tables().select("schema_name", "table_name")
+
+        m = _DESCRIBE_RE.match(q)
+        if m:
+            return self.sqlrs_columns(m.group("table"))
+
+        m = _EXPLAIN_RE.match(q)
+        if m and not q.lower().startswith("explain table"):
+            child = self.sql(m.group("query"))
+            plan = child._jdf.queryExecution().toString()
+            return self.spark.createDataFrame(
+                [(line,) for line in plan.splitlines()], "plan string"
+            )
+
+        m = _COPY_RE.match(q)
+        if m:
+            # bind_copy.rs:9-56: COPY t FROM 'f.csv' (DELIMITER '|', HEADER)
+            # → INSERT INTO t SELECT * FROM read_csv(...)
+            opts = (m.group("opts") or "").upper()
+            delim = ","
+            dm = re.search(r"DELIMITER\s+'(.)'", opts, re.IGNORECASE)
+            if dm:
+                delim = dm.group(1)
+            header = "HEADER" in opts
+            src = self.read_csv(m.group("path"), header=header, delim=delim)
+            target_cols = self.spark.table(m.group("table")).columns
+            src = src.toDF(*target_cols)
+            src.createOrReplaceTempView("__sqlrs_copy_src")
+            return self.spark.sql(
+                f"INSERT INTO {m.group('table')} SELECT * FROM __sqlrs_copy_src"
+            )
+
+        # read_csv('path', header=>true, delim=>'|') inside a query: register
+        # the scan as a temp view and substitute the view name.
+        def _sub_read_csv(match: re.Match) -> str:
+            path = match.group("path")
+            header, delim = True, ","
+            for am in re.finditer(r"(\w+)\s*=>\s*([^,)]+)", match.group("args") or ""):
+                key, val = am.group(1).lower(), am.group(2).strip().strip("'")
+                if key == "header":
+                    header = val.lower() in ("true", "1", "t")
+                elif key in ("delim", "sep", "delimiter"):
+                    delim = val
+            view = f"__sqlrs_read_csv_{abs(hash((path, header, delim))) % 10**8}"
+            self.read_csv(path, header=header, delim=delim).createOrReplaceTempView(view)
+            return view
+
+        q = _READ_CSV_RE.sub(_sub_read_csv, q)
+
+        # replacement scan: FROM 'file.csv' (bind_base_table_ref.rs:97-126)
+        def _sub_path(match: re.Match) -> str:
+            path = match.group("path")
+            if path.endswith(".csv"):
+                df = self.read_csv(path)
+            elif path.endswith(".parquet"):
+                df = self.spark.read.parquet(path)
+            else:
+                df = self.spark.read.json(path)
+            view = f"__sqlrs_scan_{abs(hash(path)) % 10**8}"
+            df.createOrReplaceTempView(view)
+            return f"{match.group('kw')} {view}"
+
+        q = _REPLACEMENT_SCAN_RE.sub(_sub_path, q)
+
+        if _SQLRS_TABLES_RE.search(q):
+            self.sqlrs_tables().createOrReplaceTempView("__sqlrs_tables_view")
+            q = _SQLRS_TABLES_RE.sub("__sqlrs_tables_view", q)
+        if _SQLRS_COLUMNS_RE.search(q):
+            self.sqlrs_columns().createOrReplaceTempView("__sqlrs_columns_view")
+            q = _SQLRS_COLUMNS_RE.sub("__sqlrs_columns_view", q)
+
+        return self.spark.sql(q)
