@@ -1,1 +1,310 @@
-"""placeholder — filled in by subsequent commits."""
+"""Deduplication operators over the `documents` / `embeddings` tables —
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the point of each variant):
+- exact: groupBy on md5(text) — one shuffle keyed by a 128-bit digest, not
+  the document body; at 100 TB you shuffle 16-byte keys, not documents.
+- MinHash+LSH: per-doc signature (map-side, codegen) → explode to (band,
+  band_key) → shuffle on band key → same-bucket self-join → verify true
+  Jaccard only on candidates. Work is O(candidates), not O(n²).
+- SimHash: 32-bit signature; Hamming-≤k retrieval via 4×8-bit band
+  blocking (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands equal).
+- n-gram Jaccard: exact pairwise within cheap blocks (lang) — the
+  brute-force baseline the LSH variants approximate.
+- embedding near-dup: exact cosine pairs (baseline); the LSH-bucketed
+  scale path lives in operators/similarity.py.
+
+Every operator has a DuckDB oracle built from the same frozen constants
+(functions/hashing.py), so the driver's value-hash check covers the whole
+pipeline, not just row counts.
+"""
+
+from __future__ import annotations
+
+from sqlrs_spark.functions.hashing import MINHASH_PERMS, P31, h31_duck, h31_spark
+from sqlrs_spark.registry import register
+from sqlrs_spark.sources.tables import register_views
+
+# ---------------------------------------------------------------------------
+# p01 — exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+_P01 = """
+SELECT md5(text)    AS text_hash,
+       MIN(doc_id)  AS keep_doc_id,
+       COUNT(*)     AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY keep_doc_id
+"""
+
+
+@register("p01_dedup_exact", oracle=_P01, tags=("pipeline", "dedup"), bench=True)
+def p01_dedup_exact(spark, sf_dir):
+    """Exact dedup: group by content digest, keep the smallest doc_id.
+    Shuffles 16-byte digests only; the canonical first pass of any corpus
+    dedup at scale."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_P01)
+
+
+# ---------------------------------------------------------------------------
+# p02 — MinHash + LSH banding over unigram token sets
+# ---------------------------------------------------------------------------
+
+_N_PERM = len(MINHASH_PERMS)  # 12
+_N_BANDS = 3
+_ROWS_PER_BAND = _N_PERM // _N_BANDS  # 4
+_JACCARD_T = 0.9
+
+
+def _minhash_sig(spark_dialect: bool) -> str:
+    """Expression: array/list of _N_PERM minhash values over distinct tokens."""
+    if spark_dialect:
+        toks = "array_distinct(split(text, ' '))"
+        hs = f"transform({toks}, tok -> {h31_spark('tok')})"
+        perms = ", ".join(
+            f"array_min(transform(hs, h -> pmod({a} * h + {b}, {P31})))"
+            for a, b in MINHASH_PERMS
+        )
+        return hs, f"array({perms})"
+    toks = "list_distinct(string_split(text, ' '))"
+    hs = f"list_transform({toks}, tok -> {h31_duck('tok')})"
+    perms = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P31}))"
+        for a, b in MINHASH_PERMS
+    )
+    return hs, f"[{perms}]"
+
+
+def _p02(spark_dialect: bool) -> str:
+    hs, sig = _minhash_sig(spark_dialect)
+    if spark_dialect:
+        toks = "array_distinct(split(text, ' '))"
+        band_key = (
+            "concat_ws(':', slice(sig, band * {r} + 1, {r}))".format(r=_ROWS_PER_BAND)
+        )
+        bands = f"explode(sequence(0, {_N_BANDS - 1}))"
+        inter = "size(array_intersect(a.toks, b.toks))"
+        nsz = "size({s}.toks)"
+        sql = f"""
+WITH sigs AS (
+  SELECT doc_id, toks, sig FROM (
+    SELECT doc_id, {toks} AS toks, sig
+    FROM (SELECT doc_id, text, {sig} AS sig FROM (SELECT doc_id, text, {hs} AS hs FROM documents) h)
+  )
+),
+bands AS (
+  SELECT doc_id, toks, band, {band_key} AS band_key
+  FROM sigs LATERAL VIEW {bands} AS band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       {inter} / CAST({nsz.format(s='a')} + {nsz.format(s='b')} - {inter} AS DOUBLE) AS jaccard
+FROM cand c
+JOIN sigs a ON a.doc_id = c.doc_a
+JOIN sigs b ON b.doc_id = c.doc_b
+WHERE {inter} / CAST({nsz.format(s='a')} + {nsz.format(s='b')} - {inter} AS DOUBLE) >= {_JACCARD_T}
+ORDER BY doc_a, doc_b
+"""
+        return sql
+    toks = "list_distinct(string_split(text, ' '))"
+    band_key = "array_to_string(sig[band * {r} + 1 : band * {r} + {r}], ':')".format(
+        r=_ROWS_PER_BAND
+    )
+    inter = "len(list_intersect(a.toks, b.toks))"
+    nsz = "len({s}.toks)"
+    return f"""
+WITH sigs AS (
+  SELECT doc_id, {toks} AS toks, {sig} AS sig
+  FROM (SELECT doc_id, text, {hs} AS hs FROM documents) h
+),
+bands AS (
+  SELECT doc_id, toks, band, {band_key} AS band_key
+  FROM sigs, (SELECT unnest(range(0, {_N_BANDS})) AS band) bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       {inter} / CAST({nsz.format(s='a')} + {nsz.format(s='b')} - {inter} AS DOUBLE) AS jaccard
+FROM cand c
+JOIN sigs a ON a.doc_id = c.doc_a
+JOIN sigs b ON b.doc_id = c.doc_b
+WHERE {inter} / CAST({nsz.format(s='a')} + {nsz.format(s='b')} - {inter} AS DOUBLE) >= {_JACCARD_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("p02_dedup_minhash", oracle=_p02(False), tags=("pipeline", "dedup"))
+def p02_dedup_minhash(spark, sf_dir):
+    """MinHash(12 perms) + LSH(3 bands × 4 rows) near-dup pairs over unigram
+    token sets, verified at true Jaccard ≥ 0.9.
+
+    Plan shape: signature is map-side only; the only shuffles are the band
+    self-join (keyed on 4-value band keys) and the candidate verify joins.
+    At 100 TB: candidates ≪ n², and the verify join is key-partitioned.
+    """
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_p02(True))
+
+
+# ---------------------------------------------------------------------------
+# p03 — SimHash with banded Hamming retrieval
+# ---------------------------------------------------------------------------
+
+_SIM_BITS = 32
+_SIM_BANDS = 4  # 4 bands × 8 bits; hamming ≤ 3 ⇒ ≥1 band identical
+_HAMMING_T = 3
+
+
+def _p03(spark_dialect: bool) -> str:
+    if spark_dialect:
+        hs = f"transform(split(text, ' '), tok -> {h31_spark('tok')})"
+        # per-bit weighted vote: sum over token hashes of ±1 per bit
+        bitsum = "aggregate(hs, 0L, (acc, h) -> acc + (shiftright(h, b) & 1) * 2 - 1)"
+        sim = (
+            f"aggregate(sequence(0, {_SIM_BITS - 1}), cast(0 as bigint), "
+            f"(acc, b) -> acc + if({bitsum} >= 0, shiftleft(cast(1 as bigint), b), 0))"
+        )
+        band_expr = "shiftright(simhash, band * 8) & 255"
+        bands = f"explode(sequence(0, {_SIM_BANDS - 1}))"
+        hamming = "bit_count(a.simhash ^ b.simhash)"
+        lateral = f"FROM sigs LATERAL VIEW {bands} AS band"
+    else:
+        hs = f"list_transform(string_split(text, ' '), tok -> {h31_duck('tok')})"
+        bitsum = (
+            "list_reduce(list_prepend(0::BIGINT, "
+            "list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)), (acc, v) -> acc + v)"
+        )
+        sim = (
+            f"list_reduce(list_prepend(0::BIGINT, "
+            f"list_transform(range(0, {_SIM_BITS}), "
+            f"b -> CASE WHEN {bitsum} >= 0 THEN (1::BIGINT << b) ELSE 0 END)), "
+            f"(acc, v) -> acc + v)"
+        )
+        band_expr = "(simhash >> (band * 8)) & 255"
+        hamming = "bit_count(xor(a.simhash, b.simhash))"
+        lateral = f"FROM sigs, (SELECT unnest(range(0, {_SIM_BANDS})) AS band) bands"
+    return f"""
+WITH sigs AS (
+  SELECT doc_id, {sim} AS simhash
+  FROM (SELECT doc_id, {hs} AS hs FROM documents) h
+),
+bands AS (
+  SELECT doc_id, simhash, band, {band_expr} AS band_val
+  {lateral}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({hamming.replace('a.simhash', 'sim_a').replace('b.simhash', 'sim_b')} AS BIGINT) AS hamming
+FROM cand a
+WHERE {hamming.replace('a.simhash', 'sim_a').replace('b.simhash', 'sim_b')} <= {_HAMMING_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("p03_dedup_simhash", oracle=_p03(False), tags=("pipeline", "dedup"))
+def p03_dedup_simhash(spark, sf_dir):
+    """SimHash(32-bit, token-vote) near-dup pairs at Hamming ≤ 3, retrieved
+    via 4×8-bit band blocking (pigeonhole-complete for the threshold)."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_p03(True))
+
+
+# ---------------------------------------------------------------------------
+# p04 — character n-gram Jaccard (exact, block by lang)
+# ---------------------------------------------------------------------------
+
+_NGRAM = 4
+_NGRAM_T = 0.37
+
+
+def _p04(spark_dialect: bool) -> str:
+    if spark_dialect:
+        grams = (
+            f"array_distinct(transform(sequence(1, greatest(length(text) - {_NGRAM - 1}, 1)), "
+            f"i -> substr(text, i, {_NGRAM})))"
+        )
+        inter = "size(array_intersect(a.grams, b.grams))"
+        nsz = "size({s}.grams)"
+    else:
+        grams = (
+            f"list_distinct(list_transform(range(1, greatest(len(text) - {_NGRAM - 2}, 2)), "
+            f"i -> text[i:i+{_NGRAM - 1}]))"
+        )
+        inter = "len(list_intersect(a.grams, b.grams))"
+        nsz = "len({s}.grams)"
+    jac = f"{inter} / CAST({nsz.format(s='a')} + {nsz.format(s='b')} - {inter} AS DOUBLE)"
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, {grams} AS grams FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
+FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE {jac} >= {_NGRAM_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("p04_dedup_ngram", oracle=_p04(False), tags=("pipeline", "dedup"))
+def p04_dedup_ngram(spark, sf_dir):
+    """Exact char-4-gram Jaccard pairs within lang blocks — the brute-force
+    baseline that LSH approximates. Blocking key keeps the self-join from
+    being a full cross product; at scale you'd block on MinHash buckets."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_p04(True))
+
+
+# ---------------------------------------------------------------------------
+# p05 — embedding-cosine near-dup (exact baseline)
+# ---------------------------------------------------------------------------
+
+_COS_T = 0.40
+
+
+def _p05(spark_dialect: bool) -> str:
+    if spark_dialect:
+        v = "transform(embedding, x -> cast(x as double))"
+        dot = (
+            "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double), "
+            "(acc, p) -> acc + p)"
+        )
+        norm = (
+            "aggregate({s}.v, cast(0.0 as double), (acc, x) -> acc + x * x)"
+        )
+    else:
+        v = "embedding::DOUBLE[]"
+        dot = "list_dot_product(a.v, b.v)"
+        norm = "list_dot_product({s}.v, {s}.v)"
+    cos = f"{dot} / sqrt({norm.format(s='a')} * {norm.format(s='b')})"
+    return f"""
+WITH e AS (
+  SELECT vec_id, {v} AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {cos} >= {_COS_T}
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("p05_dedup_embedding", oracle=_p05(False), tags=("pipeline", "dedup"))
+def p05_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact O(n²) baseline over the
+    small synthetic corpus). The scale path — hyperplane-LSH bucketed
+    candidate generation — is p07_ann_lsh in operators/similarity.py;
+    dot products are double-precision fold expressions so values match the
+    oracle bit-for-bit."""
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(_p05(True))

@@ -1,1 +1,114 @@
-"""placeholder — filled in by subsequent commits."""
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed with Arrow-batched pandas UDFs via mapInPandas.
+
+The real decode libraries (PIL/librosa/av) are not in this container, so
+the *decode* step is stubbed (deterministic fake decode derived from the
+payload's md5 — see fake_decode_dims) while everything Spark-side is real
+and tested: binary schema, mapInPandas batch iteration, Arrow transfer,
+partition-parallel execution. Swap `fake_decode_dims` for a real decoder
+and the plan is production-shaped: decode cost is per-partition Python,
+embarrassingly parallel, no shuffle.
+
+The driver-visible query (m01) builds payloads from documents.text (UTF-8
+bytes) so the DuckDB oracle can recompute byte length / magic prefix / the
+md5-derived fake dimensions directly from the text column.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlrs_spark.registry import register
+from sqlrs_spark.sources.tables import load_table
+
+META_SCHEMA = "doc_id bigint, format string, byte_len bigint, magic string, width int, height int"
+
+
+def fake_decode_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for an image decode. Real decoders are not in
+    this container; a production build replaces this with PIL/ffmpeg."""
+    h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+    return (h % 1920) + 1, (h % 1080) + 1
+
+
+def decode_image(payload: bytes):
+    """Real image decode — stubbed in this environment."""
+    raise NotImplementedError("image decode requires PIL/libjpeg; not in container")
+
+
+def decode_audio(payload: bytes):
+    """Real audio decode — stubbed in this environment."""
+    raise NotImplementedError("audio decode requires librosa/ffmpeg; not in container")
+
+
+def binarize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → opaque binary column + typed metadata struct.
+    This is the storage shape for image/audio/video at scale: payload as
+    parquet binary, metadata as plain columns for pushdown-able filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("txt").alias("format"),
+            F.length(F.encode("text", "utf-8")).alias("byte_len"),
+        ).alias("meta"),
+    )
+
+
+def extract_meta(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas metadata extraction over binary payloads — the plumbing a
+    real decode/resize/frame-sample UDF rides on (Arrow batches in/out)."""
+
+    # NOTE: self-contained closure (no sqlrs_spark references) — executors
+    # may not have the repo on their PYTHONPATH, so the UDF must pickle by
+    # value. Keep any helper logic inlined here.
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def _dims(payload: bytes) -> tuple[int, int]:
+            h = int(_hashlib.md5(payload).hexdigest()[:15], 16)
+            return (h % 1920) + 1, (h % 1080) + 1
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = [_dims(p) for p in payloads]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": [m["format"] for m in pdf["meta"]],
+                    "byte_len": payloads.map(len),
+                    "magic": payloads.map(lambda b: b[:4].hex()),
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                }
+            )
+
+    return binary_df.mapInPandas(op, schema=META_SCHEMA)
+
+
+_M01_ORACLE = """
+SELECT doc_id,
+       'txt'                                        AS format,
+       strlen(text)                                 AS byte_len,
+       lower(hex(substr(text, 1, 4)))               AS magic,
+       CAST((('0x'||substr(md5(text),1,15))::BIGINT % 1920) + 1 AS INT) AS width,
+       CAST((('0x'||substr(md5(text),1,15))::BIGINT % 1080) + 1 AS INT) AS height
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("m01_multimodal_meta", oracle=_M01_ORACLE, tags=("pipeline", "multimodal"))
+def m01_multimodal_meta(spark, sf_dir):
+    """Binary-column pipeline: binarize → mapInPandas decode-stub →
+    metadata table. The oracle recomputes every field from the source text,
+    so the whole Arrow round-trip is value-checked."""
+    return extract_meta(binarize_documents(spark, sf_dir)).orderBy("doc_id")

@@ -1,1 +1,131 @@
-"""placeholder — filled in by subsequent commits."""
+"""Similarity search over the `embeddings` table (array<float> column).
+
+- p06_ann_bruteforce: exact cosine top-k — the correctness baseline. Plan:
+  broadcast the (small) query set against the corpus, windowed top-k per
+  query. At scale: corpus stays partitioned, queries broadcast; one shuffle
+  for the per-query top-k (partitioned by query id).
+- p07_ann_lsh: random-hyperplane LSH — the scale path. Signatures are
+  map-side expressions; candidate generation is an equi-join on bucket id,
+  so the n×m cross product never materializes. Hyperplane coefficients are
+  derived from md5 inside SQL, so Spark and the DuckDB oracle share them
+  exactly (functions/hashing.py).
+
+All dot products run in double precision with identical association order
+in both engines → bit-identical cosines → stable value hashes.
+"""
+
+from __future__ import annotations
+
+from sqlrs_spark.functions.hashing import md5int_duck, md5int_spark
+from sqlrs_spark.registry import register
+from sqlrs_spark.sources.tables import register_views
+
+_TOP_K = 5
+_N_QUERIES = 10  # vec_id < 10 are the query vectors
+_N_PLANES = 8
+
+
+def _p06(spark_dialect: bool) -> str:
+    if spark_dialect:
+        v = "transform(embedding, x -> cast(x as double))"
+        dot = "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0.0 as double), (acc, p) -> acc + p)"
+        norm = "aggregate({s}.v, cast(0.0 as double), (acc, x) -> acc + x * x)"
+    else:
+        v = "embedding::DOUBLE[]"
+        dot = "list_dot_product(q.v, c.v)"
+        norm = "list_dot_product({s}.v, {s}.v)"
+    cos = f"{dot} / sqrt({norm.format(s='q')} * {norm.format(s='c')})"
+    return f"""
+WITH e AS (SELECT vec_id, {v} AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM e q JOIN e c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("p06_ann_bruteforce", oracle=_p06(False), tags=("pipeline", "similarity"), bench=True)
+def p06_ann_bruteforce(spark, sf_dir):
+    """Exact cosine top-k: query set × corpus, windowed rank per query.
+    Deterministic ties broken by neighbor_id."""
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(_p06(True))
+
+
+def _p07(spark_dialect: bool) -> str:
+    # hyperplane coefficient: uniform in [-1, 1], derived from md5(p:d) —
+    # identical in both engines, no literal tables needed
+    if spark_dialect:
+        coef = (
+            "(pmod(" + md5int_spark("concat(cast(p as string), ':', cast(d as string))")
+            + ", 2001) - 1000) / 1000.0"
+        )
+        plane_dot = (
+            f"aggregate(sequence(1, 64), cast(0.0 as double), "
+            f"(acc, d) -> acc + ({coef}) * element_at(v, d))"
+        )
+        bucket = (
+            f"aggregate(sequence(0, {_N_PLANES - 1}), cast(0 as bigint), "
+            f"(acc, p) -> acc + if({plane_dot} >= 0, shiftleft(cast(1 as bigint), p), 0))"
+        )
+        v = "transform(embedding, x -> cast(x as double))"
+        dot = "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0.0 as double), (acc, p) -> acc + p)"
+        norm = "aggregate({s}.v, cast(0.0 as double), (acc, x) -> acc + x * x)"
+    else:
+        coef = (
+            "((" + md5int_duck("concat(p::VARCHAR, ':', d::VARCHAR)")
+            + " % 2001) - 1000) / 1000.0"
+        )
+        plane_dot = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, 65), d -> ({coef}) * v[d])), (acc, x) -> acc + x)"
+        )
+        bucket = (
+            f"list_reduce(list_prepend(0::BIGINT, "
+            f"list_transform(range(0, {_N_PLANES}), "
+            f"p -> CASE WHEN {plane_dot} >= 0 THEN (1::BIGINT << p) ELSE 0 END)), "
+            f"(acc, x) -> acc + x)"
+        )
+        v = "embedding::DOUBLE[]"
+        dot = "list_dot_product(q.v, c.v)"
+        norm = "list_dot_product({s}.v, {s}.v)"
+    cos = f"{dot} / sqrt({norm.format(s='q')} * {norm.format(s='c')})"
+    return f"""
+WITH e AS (
+  SELECT vec_id, v, {bucket} AS bucket
+  FROM (SELECT vec_id, {v} AS v FROM embeddings) base
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("p07_ann_lsh", oracle=_p07(False), tags=("pipeline", "similarity"))
+def p07_ann_lsh(spark, sf_dir):
+    """Approximate top-k via random-hyperplane LSH (8 planes → 256 buckets):
+    candidates share the query's sign-pattern bucket; exact cosine rank
+    within bucket. Single-probe (recall traded for candidate count); at
+    scale add multi-probe or band OR-ing — same plan shape."""
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(_p07(True))

@@ -1,1 +1,190 @@
-"""placeholder — filled in by subsequent commits."""
+"""Text-analysis operators over the `documents` table — the language-ID /
+quality-scoring / token-counting / fingerprinting layer a training-data
+pipeline runs before dedup.
+
+All four are pure built-in-expression plans (no Python UDFs): at 100 TB
+they run entirely inside whole-stage codegen, embarrassingly parallel,
+no shuffle except the final ORDER BY (which exists only for test
+determinism and would be dropped in production).
+
+Spark side runs on temp views via spark.sql; the DuckDB oracle mirrors the
+same computation with dialect-adjusted fragments (see functions/hashing.py
+for the cross-engine determinism argument).
+"""
+
+from __future__ import annotations
+
+from sqlrs_spark.functions.hashing import P31, h31_duck, h31_spark
+from sqlrs_spark.registry import register
+from sqlrs_spark.sources.tables import register_views
+
+# words-per-language scoring lists (tiny built-in stopword lists; a real
+# pipeline would ship larger lists — the plan shape is identical)
+_LANGS = [
+    ("en", ["the", "a", "and", "of", "to", "in", "is"]),
+    ("de", ["der", "die", "und", "das", "ist", "ein"]),
+    ("es", ["el", "la", "de", "y", "que", "un"]),
+    ("fr", ["le", "la", "et", "les", "des", "un"]),
+    ("zh", ["的", "是", "了", "在", "和"]),
+]
+
+
+def _arr(words: list[str]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _lst(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------------
+# t01 — token counting (whitespace + BPE-ish regex + chars/4 heuristic)
+# ---------------------------------------------------------------------------
+
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+_T01_SPARK = f"""
+SELECT doc_id,
+       size(split(text, ' '))                            AS n_ws_tokens,
+       size(regexp_extract_all(text, '{_BPE_RE}', 0))    AS n_bpe_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT)          AS n_est_tokens,
+       length(text)                                      AS n_chars_computed
+FROM documents
+ORDER BY doc_id
+"""
+
+_T01_DUCK = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT)              AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}', 0)) AS INT) AS n_bpe_tokens,
+       CAST(ceil(len(text) / 4.0) AS BIGINT)                  AS n_est_tokens,
+       CAST(len(text) AS INT)                                 AS n_chars_computed
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("t01_token_count", oracle=_T01_DUCK, tags=("pipeline", "text"))
+def t01_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens, BPE-ish regex tokens, chars/4
+    estimate. Pure projection — codegen'd, no shuffle."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_T01_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# t02 — language ID (stopword-list n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+def _t02(spark_dialect: bool) -> str:
+    split = "split(text, ' ')" if spark_dialect else "string_split(text, ' ')"
+    flt = "size(filter({toks}, t -> array_contains({words}, t)))" if spark_dialect else (
+        "len(list_filter({toks}, t -> list_contains({words}, t)))"
+    )
+    arr = _arr if spark_dialect else _lst
+    scores = ",\n       ".join(
+        f"CAST({flt.format(toks='toks', words=arr(words))} AS INT) AS s_{lang}"
+        for lang, words in _LANGS
+    )
+    # deterministic argmax: first language (list order) with the max score
+    best = "CASE " + " ".join(
+        f"WHEN s_{lang} >= greatest(" + ", ".join(f"s_{l2}" for l2, _ in _LANGS) + f") THEN '{lang}'"
+        for lang, _ in _LANGS
+    ) + " END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS lang_label, {scores}
+  FROM (SELECT doc_id, lang, {split} AS toks FROM documents) t
+)
+SELECT doc_id, lang_label, s_en, s_de, s_es, s_fr, s_zh,
+       {best} AS lang_guess
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register("t02_language_id", oracle=_t02(False), tags=("pipeline", "text"))
+def t02_language_id(spark, sf_dir):
+    """Language ID via per-language stopword hit counts with a deterministic
+    argmax. Plan: projection with array filters — codegen, no shuffle."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_t02(True))
+
+
+# ---------------------------------------------------------------------------
+# t03 — quality scoring (length / type-token ratio / stopword ratio)
+# ---------------------------------------------------------------------------
+
+def _t03(spark_dialect: bool) -> str:
+    if spark_dialect:
+        split = "split(text, ' ')"
+        nuniq = "size(array_distinct(toks))"
+        ntok = "size(toks)"
+        stop = "size(filter(toks, t -> array_contains(array('the','a','and','of','to'), t)))"
+        sumlen = "aggregate(toks, 0L, (acc, t) -> acc + length(t))"
+    else:
+        split = "string_split(text, ' ')"
+        nuniq = "len(list_distinct(toks))"
+        ntok = "len(toks)"
+        stop = "len(list_filter(toks, t -> list_contains(['the','a','and','of','to'], t)))"
+        sumlen = "list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> len(t)::BIGINT)), (acc, t) -> acc + t)"
+    return f"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST({ntok} AS BIGINT)   AS n_tokens,
+         CAST({nuniq} AS BIGINT)  AS n_uniq,
+         CAST({stop} AS BIGINT)   AS n_stop,
+         CAST({sumlen} AS BIGINT) AS sum_len
+  FROM (SELECT doc_id, {split} AS toks FROM documents) t
+)
+SELECT doc_id, n_tokens, n_uniq,
+       n_uniq / CAST(n_tokens AS DOUBLE)                       AS ttr,
+       n_stop / CAST(n_tokens AS DOUBLE)                       AS stop_ratio,
+       sum_len / CAST(n_tokens AS DOUBLE)                      AS mean_word_len,
+       0.5 * (n_uniq / CAST(n_tokens AS DOUBLE))
+         + 0.2 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE))
+         + 0.3 * least(sum_len / CAST(n_tokens AS DOUBLE) / 8.0, 1.0) AS quality_score
+FROM feat
+ORDER BY doc_id
+"""
+
+
+@register("t03_quality_score", oracle=_t03(False), tags=("pipeline", "text"))
+def t03_quality_score(spark, sf_dir):
+    """Quality scoring from length/stopword/type-token features; the score
+    is a fixed IEEE expression so values hash-match the oracle exactly."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_t03(True))
+
+
+# ---------------------------------------------------------------------------
+# t04 — document fingerprint (rolling polynomial hash over token hashes)
+# ---------------------------------------------------------------------------
+
+def _t04(spark_dialect: bool) -> str:
+    if spark_dialect:
+        split = "split(text, ' ')"
+        fold = (
+            f"aggregate({split}, cast(0 as bigint), "
+            f"(acc, tok) -> pmod(acc * 31 + {h31_spark('tok')}, {P31}))"
+        )
+    else:
+        split = "string_split(text, ' ')"
+        fold = (
+            f"list_reduce(list_prepend(0::BIGINT, "
+            f"list_transform({split}, tok -> {h31_duck('tok')})), "
+            f"(acc, h) -> (acc * 31 + h) % {P31})"
+        )
+    return f"""
+SELECT doc_id, {fold} AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("t04_fingerprint", oracle=_t04(False), tags=("pipeline", "text"))
+def t04_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling hash (poly mod 2^31-1 over md5-derived token
+    hashes) — a content-defined fingerprint for shift-tolerant dedup."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_t04(True))

@@ -1,1 +1,175 @@
-"""placeholder — filled in by subsequent commits."""
+"""Structured Streaming operators over the `events` table.
+
+The reference engine is batch-only (SURVEY §2.9); these are the streaming
+capabilities a Spark-native engine adds: windowed event-time aggregation
+with watermarks, and a custom stateful operator via applyInPandasWithState.
+
+Tests drive them with file sources + availableNow triggers so a bounded
+parquet directory exercises the incremental engine end-to-end; production
+swaps the source for Kafka and the sink for a real table — the plan is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sqlrs_spark.registry import register
+from sqlrs_spark.session import configure_runtime
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources/tables.py)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet file with the TIMESTAMP(NANOS)
+    workaround (nanos read as long, truncated to micros)."""
+    configure_runtime(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file stream sources require a directory: stream the sf_dir with a
+    # glob filter selecting only the events file
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drive a bounded stream to completion via availableNow + memory sink;
+    returns the materialized result as a batch DataFrame."""
+    spark = stream_df.sparkSession
+    name = f"{query_name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    # materialize before the memory sink is dropped
+    rows = out.collect()
+    result = spark.createDataFrame(rows, out.schema)
+    spark.catalog.dropTempView(name)
+    return result
+
+
+@register(
+    "s01_stream_tumbling",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(value::DECIMAL(18,4)) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("pipeline", "streaming"),
+)
+def s01_stream_tumbling(spark, sf_dir):
+    """Streaming tumbling-window aggregation (1h windows, 1h watermark),
+    driven to completion over the bounded events file. The oracle is the
+    batch date_trunc equivalent — streaming and batch must agree exactly
+    (same decimal-sum determinism as the batch operators)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value_dec"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            F.col("total_value_dec").cast("double").alias("total_value"),
+        )
+    )
+    return run_to_completion(agg, "s01").orderBy("window_start", "event_type")
+
+
+@register(
+    "s02_stream_stateful_sessions",
+    oracle=None,  # custom stateful streaming — driver records rows-only check
+    tags=("pipeline", "streaming", "stateful"),
+)
+def s02_stream_stateful_sessions(spark, sf_dir):
+    """Custom stateful operator: per-user session counting with a 30-minute
+    gap, implemented with applyInPandasWithState (GroupState timeout).
+
+    Non-SQL-expressible (state machine over an unbounded stream); the
+    batch-mode twin x10_sessionization carries the oracle for the same
+    session definition.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+
+    out_schema = "user_id bigint, n_sessions bigint, n_events bigint"
+    state_schema = "last_ts bigint, n_sessions bigint, n_events bigint"
+
+    def count_sessions(key, batches, state: GroupState):
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        rows = pd.concat(list(batches))
+        for ts in sorted(rows["ts"].astype("int64") // 1_000_000):
+            if last_ts is None or ts - last_ts > 1800:
+                n_sessions += 1
+            n_events += 1
+            last_ts = ts
+        state.update((int(last_ts), int(n_sessions), int(n_events)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        count_sessions,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # update-mode sink: keep the latest row per user
+    materialized = run_to_completion_update(result, "s02")
+    return materialized.orderBy("user_id")
+
+
+def run_to_completion_update(stream_df: DataFrame, query_name: str) -> DataFrame:
+    spark = stream_df.sparkSession
+    name = f"{query_name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    rows = out.collect()
+    result = spark.createDataFrame(rows, out.schema)
+    spark.catalog.dropTempView(name)
+    return result
