@@ -1,0 +1,144 @@
+"""v2 statement-surface operators (SURVEY §2.1, §2.11) exposed as driver
+contract queries: VALUES/expression scan, dummy scan, CREATE TABLE + INSERT
+round-trip, CSV ingestion (read_csv table function), catalog introspection.
+
+These exercise the Session frontend end-to-end; each one returns data whose
+oracle is a self-contained VALUES expression, so the check is independent
+of catalog state.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from sqlrs_spark.registry import register
+from sqlrs_spark.sources.tables import TABLES, register_views
+
+
+@register(
+    "v01_values_scan",
+    oracle="""
+    SELECT id, name, CAST(score AS DOUBLE) AS score
+    FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, NULL, NULL))
+      t(id, name, score)
+    ORDER BY id
+    """,
+    tags=("core", "scan", "statement"),
+)
+def v01_values_scan(spark, sf_dir):
+    """VALUES-list expression scan with per-row expressions and NULLs
+    (reference: bind_expression_list_ref.rs + expression_scan.rs; types
+    unified via max_logical_type — Spark's VALUES coercion is equivalent)."""
+    return spark.sql(
+        """
+        SELECT id, name, CAST(score AS DOUBLE) AS score
+        FROM VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, NULL, NULL)
+          AS t(id, name, score)
+        ORDER BY id
+        """
+    )
+
+
+@register(
+    "v02_dummy_scan",
+    oracle="""
+    SELECT 1 AS one, 'x' AS s, CAST(2.5 AS DOUBLE) AS f,
+           CAST(1 + 2 * 3 AS INT) AS arith, (1 < 2) AS cmp
+    """,
+    tags=("core", "scan", "statement"),
+)
+def v02_dummy_scan(spark, sf_dir):
+    """SELECT without FROM — one-row dummy scan (bind_dummy_table_ref.rs);
+    covers constant folding of arithmetic/comparison scalar functions."""
+    return spark.sql(
+        "SELECT 1 AS one, 'x' AS s, CAST(2.5 AS DOUBLE) AS f, "
+        "CAST(1 + 2 * 3 AS INT) AS arith, (1 < 2) AS cmp"
+    )
+
+
+@register(
+    "v03_ddl_roundtrip",
+    oracle="""
+    SELECT id, val FROM (VALUES (1, 'a'), (2, 'b'), (3, NULL), (4, 'd'))
+      t(id, val)
+    ORDER BY id
+    """,
+    tags=("core", "statement", "ddl"),
+)
+def v03_ddl_roundtrip(spark, sf_dir):
+    """CREATE TABLE → INSERT INTO (incl. partial column list with NULL fill,
+    bind_insert.rs:56-82) → SELECT round-trip, on an explicit parquet
+    location so it works from any driver cwd."""
+    loc = tempfile.mkdtemp(prefix="sqlrs_ddl_")
+    spark.sql("DROP TABLE IF EXISTS sqlrs_ddl_t")
+    spark.sql(
+        f"CREATE TABLE sqlrs_ddl_t (id INT, val STRING) USING parquet LOCATION '{loc}/t'"
+    )
+    spark.sql("INSERT INTO sqlrs_ddl_t VALUES (1, 'a'), (2, 'b')")
+    # partial column list: unspecified columns filled with NULL
+    spark.sql("INSERT INTO sqlrs_ddl_t (id) VALUES (3)")
+    spark.sql("INSERT INTO sqlrs_ddl_t VALUES (4, 'd')")
+    return spark.sql("SELECT id, val FROM sqlrs_ddl_t ORDER BY id")
+
+
+@register(
+    "v04_csv_roundtrip",
+    oracle="""
+    SELECT id, state_code, state_name FROM (VALUES
+      (1, 'CA', 'California State'),
+      (2, 'CO', 'Colorado State'),
+      (3, 'NJ', 'New Jersey'),
+      (4, NULL, 'Unknown, Quoted'))
+      t(id, state_code, state_name)
+    ORDER BY id
+    """,
+    tags=("core", "statement", "csv"),
+)
+def v04_csv_roundtrip(spark, sf_dir):
+    """read_csv table function with header + '|' delimiter + quoted values +
+    empty→NULL (read_csv.rs:44-199, tests/slt/csv/csv.slt) through the
+    Session frontend's SQL rewrite."""
+    from sqlrs_spark.session import Session
+
+    path = os.path.join(tempfile.mkdtemp(prefix="sqlrs_csv_"), "state.csv")
+    with open(path, "w") as f:
+        f.write("id|state_code|state_name\n")
+        f.write("1|CA|California State\n")
+        f.write("2|CO|Colorado State\n")
+        f.write("3|NJ|New Jersey\n")
+        f.write('4||"Unknown, Quoted"\n')
+    s = Session(spark)
+    return s.sql(
+        f"SELECT id, state_code, state_name "
+        f"FROM read_csv('{path}', header=>true, delim=>'|') ORDER BY id"
+    )
+
+
+@register(
+    "v05_catalog_tables",
+    oracle="""
+    SELECT table_name FROM (VALUES
+      ('customer'), ('documents'), ('embeddings'), ('events'), ('lineitem'),
+      ('nation'), ('orders'), ('part'), ('region'), ('supplier'))
+      t(table_name)
+    ORDER BY table_name
+    """,
+    tags=("core", "statement", "catalog"),
+)
+def v05_catalog_tables(spark, sf_dir):
+    """sqlrs_tables() catalog introspection (sqlrs_tables.rs:90-183) —
+    filtered to the testdata tables so the check is independent of whatever
+    else is registered in the driver session."""
+    from sqlrs_spark.session import Session
+
+    register_views(spark, sf_dir)
+    s = Session(spark)
+    return (
+        s.sqlrs_tables()
+        .filter(F.col("table_name").isin(*TABLES))
+        .select("table_name")
+        .orderBy("table_name")
+    )

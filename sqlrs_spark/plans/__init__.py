@@ -1,1 +1,15 @@
-"""placeholder — filled in by subsequent commits."""
+from sqlrs_spark.plans.checks import (
+    explain_str,
+    has_broadcast_join,
+    has_partial_agg,
+    pushed_filters,
+    read_schema_columns,
+)
+
+__all__ = [
+    "explain_str",
+    "has_broadcast_join",
+    "has_partial_agg",
+    "pushed_filters",
+    "read_schema_columns",
+]

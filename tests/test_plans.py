@@ -1,0 +1,83 @@
+"""Plan-shape tests — the Spark analogue of the reference's planner golden
+tests (tests/planner/*.planner.sql). Assert the scale-critical properties:
+predicate pushdown into the parquet scan, column pruning, broadcast joins
+for dimensions, map-side partial aggregation, no accidental cartesian
+products in the LSH self-joins."""
+
+from __future__ import annotations
+
+import pytest
+
+from sqlrs_spark.plans import (
+    explain_str,
+    has_broadcast_join,
+    has_partial_agg,
+    pushed_filters,
+    read_schema_columns,
+)
+from sqlrs_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    # reference rule: PushPredicateThroughNonJoin/Join → here: datasource V2
+    df = SPECS["q02_filter_project"].fn(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("o_orderstatus" in f for f in pf), pf
+    assert any("o_totalprice" in f for f in pf), pf
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    # reference rule: PushProjectIntoTableScan → ReadSchema must be minimal
+    df = SPECS["q02_filter_project"].fn(spark, sf_dir)
+    schemas = read_schema_columns(df)
+    # minimal read set = projected ∪ filter columns (filters are re-checked
+    # after best-effort parquet pushdown); orderdate/priority must be pruned
+    assert schemas and set(schemas[0]) == {
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+    }, schemas
+
+
+def test_q01_partial_aggregation(spark, sf_dir):
+    # map-side combine before the shuffle — mandatory at 100 TB
+    df = SPECS["q01_pricing_summary"].fn(spark, sf_dir)
+    assert has_partial_agg(df)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), pf
+
+
+def test_q03_broadcasts_dimension(spark, sf_dir):
+    df = SPECS["q03_shipping_priority"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_q05_broadcasts_dimension_chain(spark, sf_dir):
+    df = SPECS["q05_local_volume"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+
+
+def test_no_cartesian_in_lsh_joins(spark, sf_dir):
+    # LSH candidate generation must be an equi-join on band/bucket keys
+    for name in ("p02_dedup_minhash", "p03_dedup_simhash", "p07_ann_lsh"):
+        df = SPECS[name].fn(spark, sf_dir)
+        s = explain_str(df)
+        assert "CartesianProduct" not in s, name
+
+
+def test_topk_fuses_to_take_ordered(spark, sf_dir):
+    # reference: Order+Limit separate operators; Spark fuses (SURVEY §2.6)
+    df = SPECS["q03_shipping_priority"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_text_ops_are_pure_projection(spark, sf_dir):
+    # no shuffle except the cosmetic final sort: a single Exchange allowed
+    df = SPECS["t04_fingerprint"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s  # no Python UDFs
