@@ -24,16 +24,17 @@ def main() -> None:
     spark = build_spark("sqlrs_spark_bench", cores=cpus, shuffle_partitions=cpus)
     specs = [s for s in all_specs().values() if s.bench]
 
-    # warm the JVM + parquet footers once so the numbers measure query
-    # execution, not session startup
-    for s in specs[:1]:
-        s.fn(spark, sf_dir).collect()
-
+    # Protocol: one untimed warm run per query (JIT + codegen + parquet
+    # footer cache), then the timed run. This measures steady-state engine
+    # throughput — the number that scales to a long-lived cluster — rather
+    # than single-process JVM warmup, which is a fixed cost amortized over
+    # a session's lifetime.
     timings: dict[str, float] = {}
     for s in specs:
+        s.fn(spark, sf_dir).collect()  # warm
         t0 = time.perf_counter()
         df = s.fn(spark, sf_dir)
-        n = df.count() if "count_rows" in s.tags else len(df.collect())
+        n = len(df.collect())
         dt = time.perf_counter() - t0
         timings[s.name] = round(dt, 4)
         print(f"# {s.name}: {dt:.3f}s ({n} rows)", file=sys.stderr)

@@ -46,16 +46,19 @@ def v01_values_scan(spark, sf_dir):
     "v02_dummy_scan",
     oracle="""
     SELECT 1 AS one, 'x' AS s, CAST(2.5 AS DOUBLE) AS f,
-           CAST(1 + 2 * 3 AS INT) AS arith, (1 < 2) AS cmp
+           CAST(1 + 2 * 3 AS INT) AS arith, (1 < 2) AS cmp,
+           TRY_CAST('12' AS INT) AS try_ok, TRY_CAST('abc' AS INT) AS try_null
     """,
     tags=("core", "scan", "statement"),
 )
 def v02_dummy_scan(spark, sf_dir):
     """SELECT without FROM — one-row dummy scan (bind_dummy_table_ref.rs);
-    covers constant folding of arithmetic/comparison scalar functions."""
+    covers constant folding of arithmetic/comparison scalar functions and
+    try_cast (safe cast → NULL on failure, default_cast.rs:152-181)."""
     return spark.sql(
         "SELECT 1 AS one, 'x' AS s, CAST(2.5 AS DOUBLE) AS f, "
-        "CAST(1 + 2 * 3 AS INT) AS arith, (1 < 2) AS cmp"
+        "CAST(1 + 2 * 3 AS INT) AS arith, (1 < 2) AS cmp, "
+        "TRY_CAST('12' AS INT) AS try_ok, TRY_CAST('abc' AS INT) AS try_null"
     )
 
 
@@ -115,6 +118,75 @@ def v04_csv_roundtrip(spark, sf_dir):
         f"SELECT id, state_code, state_name "
         f"FROM read_csv('{path}', header=>true, delim=>'|') ORDER BY id"
     )
+
+
+@register(
+    "v06_ctas",
+    oracle="""
+    SELECT nk, n FROM (VALUES (0, 2), (1, 3)) t(nk, n) ORDER BY nk
+    """,
+    tags=("core", "statement", "ddl"),
+)
+def v06_ctas(spark, sf_dir):
+    """CREATE TABLE AS SELECT — names and types taken from the bound query
+    (bind_create.rs:13-48; CTAS-from-read_csv in create_table.slt:32)."""
+    loc = tempfile.mkdtemp(prefix="sqlrs_ctas_")
+    spark.sql("DROP TABLE IF EXISTS sqlrs_ctas_t")
+    spark.sql(
+        f"""
+        CREATE TABLE sqlrs_ctas_t USING parquet LOCATION '{loc}/t' AS
+        SELECT nk, COUNT(*) AS n
+        FROM VALUES (0), (0), (1), (1), (1) AS s(nk)
+        GROUP BY nk
+        """
+    )
+    return spark.sql("SELECT nk, CAST(n AS INT) AS n FROM sqlrs_ctas_t ORDER BY nk")
+
+
+@register(
+    "v07_catalog_columns",
+    oracle="""
+    SELECT column_name, column_type FROM (VALUES
+      ('r_regionkey', 'int'), ('r_name', 'string'),
+      ('n_nationkey', 'int'), ('n_name', 'string'), ('n_regionkey', 'int'))
+      t(column_name, column_type)
+    ORDER BY column_name
+    """,
+    tags=("core", "statement", "catalog"),
+)
+def v07_catalog_columns(spark, sf_dir):
+    """sqlrs_columns() per-table column introspection (sqlrs_columns.rs),
+    over the region+nation views."""
+    from sqlrs_spark.session import Session
+
+    register_views(spark, sf_dir, ("region", "nation"))
+    s = Session(spark)
+    region = s.sqlrs_columns("region")
+    nation = s.sqlrs_columns("nation")
+    return (
+        region.unionAll(nation)
+        .select("column_name", "column_type")
+        .orderBy("column_name")
+    )
+
+
+@register(
+    "v08_replacement_scan",
+    oracle="""
+    SELECT id, name FROM (VALUES (1, 'ada'), (2, 'grace')) t(id, name)
+    ORDER BY id
+    """,
+    tags=("core", "statement", "csv"),
+)
+def v08_replacement_scan(spark, sf_dir):
+    """`SELECT * FROM 'file.csv'` replacement scan
+    (bind_base_table_ref.rs:97-126) through the Session SQL rewrite."""
+    from sqlrs_spark.session import Session
+
+    path = os.path.join(tempfile.mkdtemp(prefix="sqlrs_rs_"), "people.csv")
+    with open(path, "w") as f:
+        f.write("id,name\n1,ada\n2,grace\n")
+    return Session(spark).sql(f"SELECT id, name FROM '{path}' ORDER BY id")
 
 
 @register(
