@@ -103,6 +103,23 @@ _EXPLAIN_RE = re.compile(r"^\s*explain\s+(?P<query>.+)$", re.IGNORECASE | re.DOT
 _SQLRS_TABLES_RE = re.compile(r"\bsqlrs_tables\s*\(\s*\)", re.IGNORECASE)
 _SQLRS_COLUMNS_RE = re.compile(r"\bsqlrs_columns\s*\(\s*\)", re.IGNORECASE)
 
+# Unsigned integer DDL (``tinyint unsigned`` …, src/types_v2/types.rs:9-26):
+# Spark has no unsigned ints, so map to the next wider signed type
+# (documented deviation, SURVEY §1.3 / sqlrs_spark.functions.types).
+_UNSIGNED_DDL_RE = re.compile(
+    r"\b(?P<base>tinyint|smallint|int(?:eger)?|bigint)\s+unsigned\b", re.IGNORECASE
+)
+_UNSIGNED_DDL_MAP = {
+    "tinyint": "smallint",
+    "smallint": "int",
+    "int": "bigint",
+    "integer": "bigint",
+    "bigint": "decimal(20, 0)",
+}
+# Reference ``varchar`` is unbounded (src/types_v2/types.rs Varchar → arrow
+# Utf8); Spark 4 DDL requires a length on VARCHAR, so map bare varchar → string.
+_VARCHAR_DDL_RE = re.compile(r"\bvarchar\b(?!\s*\()", re.IGNORECASE)
+
 
 class Session:
     """sqlrs-compatible SQL session on top of Spark.
@@ -235,6 +252,12 @@ class Session:
             return f"{match.group('kw')} {view}"
 
         q = _REPLACEMENT_SCAN_RE.sub(_sub_path, q)
+
+        if re.match(r"^\s*create\s+table\b", q, re.IGNORECASE):
+            q = _UNSIGNED_DDL_RE.sub(
+                lambda m: _UNSIGNED_DDL_MAP[m.group("base").lower()], q
+            )
+            q = _VARCHAR_DDL_RE.sub("string", q)
 
         if _SQLRS_TABLES_RE.search(q):
             self.sqlrs_tables().createOrReplaceTempView("__sqlrs_tables_view")
