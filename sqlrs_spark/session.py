@@ -91,7 +91,8 @@ _COPY_RE = re.compile(
     re.IGNORECASE,
 )
 _READ_CSV_RE = re.compile(
-    r"read_csv\s*\(\s*'(?P<path>[^']+)'\s*(?P<args>(?:,\s*\w+\s*=>\s*[^,)]+)*)\)",
+    r"read_csv\s*\(\s*'(?P<path>[^']+)'\s*"
+    r"(?P<args>(?:,\s*\w+\s*=>\s*(?:'[^']*'|[^,)]+))*)\)",
     re.IGNORECASE,
 )
 _REPLACEMENT_SCAN_RE = re.compile(
@@ -119,6 +120,72 @@ _UNSIGNED_DDL_MAP = {
 # Reference ``varchar`` is unbounded (src/types_v2/types.rs Varchar → arrow
 # Utf8); Spark 4 DDL requires a length on VARCHAR, so map bare varchar → string.
 _VARCHAR_DDL_RE = re.compile(r"\bvarchar\b(?!\s*\()", re.IGNORECASE)
+# The reference accepts ``OFFSET n LIMIT m`` in either order
+# (tests/slt/order.slt ``order by id desc offset 2 limit 1``); Spark's
+# grammar only takes LIMIT before OFFSET.
+_OFFSET_LIMIT_RE = re.compile(
+    r"\boffset\s+(?P<off>\d+)\s+limit\s+(?P<lim>\d+)", re.IGNORECASE
+)
+_INSERT_VALUES_RE = re.compile(
+    r"^\s*insert\s+into\s+(?P<table>[A-Za-z_][\w.]*)\s*"
+    r"(?:\((?P<cols>[^)]*)\))?\s*values\s*(?P<values>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_statements(q: str) -> list[str]:
+    """Split a multi-statement string on ``;`` outside quotes.
+
+    The reference's client loops over parsed statements
+    (src/main_entry/client_context.rs:35-52); slt blocks rely on it.
+    """
+    parts: list[str] = []
+    buf: list[str] = []
+    in_str: str | None = None
+    for ch in q:
+        if in_str:
+            buf.append(ch)
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+            buf.append(ch)
+        elif ch == ";":
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _split_top_level(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` at paren depth 0, outside quoted strings."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_str: str | None = None
+    for ch in s:
+        if in_str:
+            buf.append(ch)
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
 
 
 class Session:
@@ -145,15 +212,19 @@ class Session:
 
         Schema inference mirrors the reference (≤1024-row inference window,
         src/function/table/read_csv.rs:97-109); Spark's sampled inference is
-        the scale-safe equivalent.
+        the scale-safe equivalent.  Headerless files get the reference's
+        1-based ``column_1..column_n`` names (tests/slt/table_function.slt).
         """
-        return (
+        df = (
             self.spark.read.option("header", str(header).lower())
             .option("sep", delim)
             .option("inferSchema", "true")
             .option("nullValue", "")
             .csv(path)
         )
+        if not header:
+            df = df.toDF(*[f"column_{i + 1}" for i in range(len(df.columns))])
+        return df
 
     # -- catalog table functions --------------------------------------------
 
@@ -183,8 +254,18 @@ class Session:
     # -- SQL frontend ---------------------------------------------------------
 
     def sql(self, query: str) -> DataFrame:
-        """Run a statement with the reference's frontend sugar applied."""
-        q = query.strip()
+        """Run a statement with the reference's frontend sugar applied.
+
+        Multi-statement strings run in order (client_context.rs:35-52);
+        the last statement's DataFrame is returned.
+        """
+        stmts = _split_statements(query)
+        if len(stmts) > 1:
+            out = None
+            for s in stmts:
+                out = self.sql(s)
+            return out
+        q = stmts[0] if stmts else query.strip()
 
         m = _SHOW_TABLES_RE.match(q)
         if m:
@@ -206,16 +287,23 @@ class Session:
         m = _COPY_RE.match(q)
         if m:
             # bind_copy.rs:9-56: COPY t FROM 'f.csv' (DELIMITER '|', HEADER)
-            # → INSERT INTO t SELECT * FROM read_csv(...)
-            opts = (m.group("opts") or "").upper()
+            # → INSERT INTO t SELECT * FROM read_csv(...); the insert casts
+            # source columns to the target schema (insert.rs:154-159).
+            opts = m.group("opts") or ""
             delim = ","
             dm = re.search(r"DELIMITER\s+'(.)'", opts, re.IGNORECASE)
             if dm:
                 delim = dm.group(1)
-            header = "HEADER" in opts
+            hm = re.search(r"HEADER(?:\s+(true|false))?", opts, re.IGNORECASE)
+            header = bool(hm) and (hm.group(1) or "true").lower() == "true"
             src = self.read_csv(m.group("path"), header=header, delim=delim)
-            target_cols = self.spark.table(m.group("table")).columns
-            src = src.toDF(*target_cols)
+            target = self.spark.table(m.group("table")).schema
+            src = src.select(
+                *[
+                    F.col(c).cast(f.dataType).alias(f.name)
+                    for c, f in zip(src.columns, target.fields)
+                ]
+            )
             src.createOrReplaceTempView("__sqlrs_copy_src")
             return self.spark.sql(
                 f"INSERT INTO {m.group('table')} SELECT * FROM __sqlrs_copy_src"
@@ -226,7 +314,9 @@ class Session:
         def _sub_read_csv(match: re.Match) -> str:
             path = match.group("path")
             header, delim = True, ","
-            for am in re.finditer(r"(\w+)\s*=>\s*([^,)]+)", match.group("args") or ""):
+            for am in re.finditer(
+                r"(\w+)\s*=>\s*('[^']*'|[^,)]+)", match.group("args") or ""
+            ):
                 key, val = am.group(1).lower(), am.group(2).strip().strip("'")
                 if key == "header":
                     header = val.lower() in ("true", "1", "t")
@@ -238,7 +328,10 @@ class Session:
 
         q = _READ_CSV_RE.sub(_sub_read_csv, q)
 
-        # replacement scan: FROM 'file.csv' (bind_base_table_ref.rs:97-126)
+        # replacement scan: FROM 'file.csv' (bind_base_table_ref.rs:97-126).
+        # The reference binds the scan under the file stem, so qualified
+        # references like ``select t1.a from 't1.csv'`` resolve
+        # (tests/slt/table_function.slt); name the temp view by stem.
         def _sub_path(match: re.Match) -> str:
             path = match.group("path")
             if path.endswith(".csv"):
@@ -247,7 +340,8 @@ class Session:
                 df = self.spark.read.parquet(path)
             else:
                 df = self.spark.read.json(path)
-            view = f"__sqlrs_scan_{abs(hash(path)) % 10**8}"
+            stem = re.sub(r"\W", "_", os.path.splitext(os.path.basename(path))[0])
+            view = stem if stem and stem[0].isalpha() else f"__sqlrs_scan_{stem}"
             df.createOrReplaceTempView(view)
             return f"{match.group('kw')} {view}"
 
@@ -266,4 +360,75 @@ class Session:
             self.sqlrs_columns().createOrReplaceTempView("__sqlrs_columns_view")
             q = _SQLRS_COLUMNS_RE.sub("__sqlrs_columns_view", q)
 
-        return self.spark.sql(q)
+        q = _OFFSET_LIMIT_RE.sub(lambda m: f"limit {m.group('lim')} offset {m.group('off')}", q)
+
+        try:
+            return self.spark.sql(q)
+        except Exception as e:
+            # The reference resolves select-list aliases inside WHERE
+            # (tests/slt/filter.slt `select v1+1 as a from t1 where a >= 2`;
+            # alias map built before WHERE binding,
+            # src/planner_v2/binder/statement/mod.rs:24-37).  Spark does not,
+            # so retry with the alias expression substituted into WHERE.
+            if "UNRESOLVED_COLUMN" in str(e) or "cannot be resolved" in str(e):
+                rq = _rewrite_where_alias(q)
+                if rq is not None:
+                    return self.spark.sql(rq)
+            # The reference binds INSERT VALUES with casts to the target
+            # column types (bind_insert.rs:27-110, e.g. string literals into
+            # a DATE column).  Spark's ANSI store assignment rejects those;
+            # retry with explicit casts.
+            if "CANNOT_SAFELY_CAST" in str(e):
+                rq = self._rewrite_insert_cast(q)
+                if rq is not None:
+                    return self.spark.sql(rq)
+            raise
+
+    def _rewrite_insert_cast(self, q: str) -> str | None:
+        """INSERT INTO t VALUES … → INSERT …  SELECT cast(…) FROM VALUES …"""
+        m = _INSERT_VALUES_RE.match(q)
+        if not m:
+            return None
+        table = m.group("table")
+        schema = self.spark.table(table).schema
+        if m.group("cols"):
+            cols = [c.strip() for c in m.group("cols").split(",")]
+        else:
+            cols = [f.name for f in schema.fields]
+        types = {f.name.lower(): f.dataType.simpleString() for f in schema.fields}
+        casts = ", ".join(
+            f"cast(col{i + 1} as {types[c.lower()]}) as {c}" for i, c in enumerate(cols)
+        )
+        names = ", ".join(f"col{i + 1}" for i in range(len(cols)))
+        return (
+            f"insert into {table} ({', '.join(cols)}) "
+            f"select {casts} from (values {m.group('values').rstrip().rstrip(';')}) "
+            f"as __sqlrs_vals({names})"
+        )
+
+
+def _rewrite_where_alias(q: str) -> str | None:
+    """Substitute select-list alias expressions into the WHERE clause."""
+    m = re.match(r"(?is)^\s*select\s+(?P<sel>.*?)\s+from\s+(?P<rest>.*)$", q)
+    if not m:
+        return None
+    sel, rest = m.group("sel"), m.group("rest")
+    aliases: dict[str, str] = {}
+    for part in _split_top_level(sel, ","):
+        am = re.match(r"(?is)^(?P<expr>.+?)\s+as\s+(?P<alias>\w+)\s*$", part.strip())
+        if am:
+            aliases[am.group("alias").lower()] = am.group("expr").strip()
+    if not aliases:
+        return None
+    wm = re.search(
+        r"(?is)\bwhere\b(?P<w>.*?)(?=\bgroup\s+by\b|\border\s+by\b|\blimit\b|\boffset\b|$)",
+        rest,
+    )
+    if not wm:
+        return None
+    w = new_w = wm.group("w")
+    for alias, expr in aliases.items():
+        new_w = re.sub(rf"(?i)\b{re.escape(alias)}\b", f"({expr})", new_w)
+    if new_w == w:
+        return None
+    return f"select {sel} from {rest[: wm.start('w')]}{new_w}{rest[wm.end('w') :]}"
