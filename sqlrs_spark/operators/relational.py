@@ -627,3 +627,169 @@ def q15_date_interval(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q19_disjunctive_pred",
+    oracle="""
+    SELECT CAST(SUM(l_extendedprice::DECIMAL(18,2)
+                    * (1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    tags=("core", "join", "expr"),
+)
+def q19_disjunctive_pred(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-conjunctions across both join sides.
+
+    Reference ops: hash join + residual filter (src/executor/join/
+    hash_join.rs:47-127), Kleene AND/OR (src/function/conjunction/
+    default_conjunction.rs:114-144), comparisons (default_comparison.rs).
+    Scale: the equi half (p_partkey = l_partkey) drives a broadcast hash
+    join on the dimension; the disjunction stays a post-join residual that
+    Catalyst also partially pushes to both scans (each branch's
+    single-table conjuncts OR-ed per side).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    part = F.broadcast(t(spark, sf_dir, "part"))
+    one = F.lit("1.00").cast("decimal(18,2)")
+    joined = li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 40)
+        )
+    )
+    return joined.filter(cond).agg(
+        as_double(F.sum(dec2("l_extendedprice") * (one - dec2("l_discount")))).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q20_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(l_extendedprice::DECIMAL(18,2)
+                    * (1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           n_name
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("core", "join", "agg"),
+)
+def q20_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: 4-way join → group by customer → top-20 by revenue.
+
+    Reference ops: multi-join left-deep chain (src/planner/select.rs:51-80),
+    hash agg (hash_agg.rs), Order+Limit (order.rs, limit.rs — Spark fuses to
+    TakeOrderedAndProject).  Scale: orders⋈lineitem is the only fact-fact
+    shuffle (co-partitioned on orderkey); customer and nation broadcast;
+    the 2-key group-by shuffles only post-agg partials.
+    """
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    one = F.lit("1.00").cast("decimal(18,2)")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .join(li.filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            as_double(
+                F.sum(dec2("l_extendedprice") * (one - dec2("l_discount")))
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q21_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(l_extendedprice::DECIMAL(18,2)
+                      * (1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("core", "join", "subquery", "agg"),
+)
+def q21_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: aggregated view + uncorrelated scalar subquery.
+
+    Reference ops: uncorrelated scalar subquery in WHERE rewritten to a
+    cross join against the 1-row aggregate (src/binder/table/
+    subquery.rs:99-167) — the same plan is used here explicitly.  Scale:
+    revenue is one shuffle on l_suppkey; the 1-row max broadcasts; the
+    supplier dimension joins broadcast; nothing rescans lineitem twice
+    (the revenue plan is shared via cache-free recompute of a cheap agg).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    one = F.lit("1.00").cast("decimal(18,2)")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            as_double(
+                F.sum(dec2("l_extendedprice") * (one - dec2("l_discount")))
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )

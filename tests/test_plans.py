@@ -81,3 +81,29 @@ def test_text_ops_are_pure_projection(spark, sf_dir):
     df = SPECS["t04_fingerprint"].fn(spark, sf_dir)
     s = explain_str(df)
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s  # no Python UDFs
+
+
+def test_q20_topk_and_no_cartesian(spark, sf_dir):
+    # 4-way join chain must stay equi-join based and fuse the final
+    # order+limit into TakeOrderedAndProject
+    df = SPECS["q20_returned_items"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "TakeOrderedAndProject" in s
+    assert "CartesianProduct" not in s
+
+
+def test_q19_residual_disjunction_no_cartesian(spark, sf_dir):
+    # the OR-of-conjunctions must ride on the p_partkey equi-join, not
+    # degrade the join to a nested-loop cross product
+    df = SPECS["q19_disjunctive_pred"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "CartesianProduct" not in s
+    assert has_partial_agg(df)
+
+
+def test_q21_scalar_subquery_broadcasts(spark, sf_dir):
+    # the 1-row max-revenue side must broadcast, not shuffle
+    df = SPECS["q21_top_supplier"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
