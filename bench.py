@@ -21,7 +21,24 @@ def main() -> None:
     from sqlrs_spark.registry import all_specs
     from sqlrs_spark.session import build_spark
 
-    spark = build_spark("sqlrs_spark_bench", cores=cpus, shuffle_partitions=cpus)
+    # Scale-aware input split size: target ≥2 splits per core on the largest
+    # table so every core scans, clamped to [1 MiB, 128 MiB].  At cluster
+    # scale (TB+ inputs) the formula saturates at Spark's 128 MiB default —
+    # this only kicks in when the data is small relative to the core count.
+    biggest = max(
+        (os.path.getsize(os.path.join(sf_dir, f)) for f in os.listdir(sf_dir)),
+        default=0,
+    )
+    mpb = min(max(biggest // (2 * cpus), 1 << 20), 128 << 20)
+    spark = build_spark(
+        "sqlrs_spark_bench",
+        cores=cpus,
+        shuffle_partitions=cpus,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(mpb),
+            "spark.sql.files.openCostInBytes": str(256 << 10),
+        },
+    )
     specs = [s for s in all_specs().values() if s.bench]
 
     # Protocol: one untimed warm run per query (JIT + codegen + parquet

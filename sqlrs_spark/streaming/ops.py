@@ -173,3 +173,51 @@ def run_to_completion_update(stream_df: DataFrame, query_name: str) -> DataFrame
     result = spark.createDataFrame(rows, out.schema)
     spark.catalog.dropTempView(name)
     return result
+
+
+@register(
+    "s03_stream_sliding",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(value::DECIMAL(18,4)) AS DOUBLE) AS total_value
+    FROM (
+      SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type, value
+      FROM events
+    )
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("pipeline", "streaming"),
+)
+def s03_stream_sliding(spark, sf_dir):
+    """Streaming sliding-window aggregation: 2-hour windows every 1 hour,
+    1-hour watermark for late data, driven to completion over the bounded
+    events file.
+
+    Each event lands in exactly two overlapping windows (starts at
+    hour-trunc(ts) and hour-trunc(ts) − 1h), which is what the batch
+    UNION-ALL oracle enumerates.  Scale: sliding windows multiply state by
+    window/slide = 2×; the watermark bounds state eviction, so executor
+    memory stays O(active windows × groups) regardless of stream length.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value_dec"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            F.col("total_value_dec").cast("double").alias("total_value"),
+        )
+    )
+    return run_to_completion(agg, "s03").orderBy("window_start", "event_type")
