@@ -112,3 +112,69 @@ def m01_multimodal_meta(spark, sf_dir):
     metadata table. The oracle recomputes every field from the source text,
     so the whole Arrow round-trip is value-checked."""
     return extract_meta(binarize_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_len int, frame_md5 string"
+
+
+def sample_frames(binary_df: DataFrame, frame_bytes: int = 256, stride: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: chunk each payload
+    into fixed-size frames, keep every ``stride``-th frame, emit one row per
+    sampled frame (row-exploding mapInPandas — the shape a real
+    ffmpeg-frame-sample UDF rides on).
+
+    Scale: runs per-partition with no shuffle; output row count is
+    len/(frame_bytes·stride) per document, so the explosion factor is
+    bounded and predictable for downstream sizing.
+    """
+
+    # self-contained closure — must pickle by value (no repo on executors)
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            doc_ids, idxs, lens, hashes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    chunk = payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(chunk))
+                    hashes.append(_hashlib.md5(chunk).hexdigest())
+            yield _pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "frame_idx": idxs,
+                    "frame_len": lens,
+                    "frame_md5": hashes,
+                }
+            )
+
+    return binary_df.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+_M02_ORACLE = """
+SELECT d.doc_id,
+       CAST(gs.i AS INT)                            AS frame_idx,
+       CAST(strlen(substr(text, CAST(gs.i*256 + 1 AS BIGINT), 256)) AS INT) AS frame_len,
+       md5(substr(text, CAST(gs.i*256 + 1 AS BIGINT), 256))         AS frame_md5
+FROM documents d
+JOIN generate_series(0, 1000000, 4) AS gs(i)
+  ON gs.i <= ((strlen(d.text) + 255) // 256) - 1
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register("m02_frame_sample", oracle=_M02_ORACLE, tags=("pipeline", "multimodal"))
+def m02_frame_sample(spark, sf_dir):
+    """Frame sampling over binary payloads: 256-byte frames, every 4th kept,
+    one output row per sampled frame. The oracle re-derives every frame's
+    length and md5 from the source text via generate_series, so the
+    row-exploding Arrow round-trip is fully value-checked."""
+    return sample_frames(binarize_documents(spark, sf_dir)).orderBy(
+        "doc_id", "frame_idx"
+    )
