@@ -129,3 +129,85 @@ def p07_ann_lsh(spark, sf_dir):
     scale add multi-probe or band OR-ing — same plan shape."""
     register_views(spark, sf_dir, ("embeddings",))
     return spark.sql(_p07(True))
+
+
+_N_CENTROIDS = 8  # coarse quantizer size (vec_id 10..17 as frozen centroids)
+_N_PROBE = 2
+
+
+def _p08(spark_dialect: bool) -> str:
+    if spark_dialect:
+        v = "transform(embedding, x -> cast(x as double))"
+        dot = "aggregate(zip_with({a}.v, {b}.cv, (x, y) -> x * y), cast(0.0 as double), (acc, p) -> acc + p)"
+        dot_vv = "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0.0 as double), (acc, p) -> acc + p)"
+        norm_v = "aggregate({s}.v, cast(0.0 as double), (acc, x) -> acc + x * x)"
+        norm_cv = "aggregate({s}.cv, cast(0.0 as double), (acc, x) -> acc + x * x)"
+    else:
+        v = "embedding::DOUBLE[]"
+        dot = "list_dot_product({a}.v, {b}.cv)"
+        dot_vv = "list_dot_product(q.v, c.v)"
+        norm_v = "list_dot_product({s}.v, {s}.v)"
+        norm_cv = "list_dot_product({s}.cv, {s}.cv)"
+    cent_cos = (
+        f"{dot.format(a='e', b='c')} / "
+        f"sqrt({norm_v.format(s='e')} * {norm_cv.format(s='c')})"
+    )
+    pair_cos = f"{dot_vv} / sqrt({norm_v.format(s='q')} * {norm_v.format(s='c')})"
+    return f"""
+WITH e AS (SELECT vec_id, {v} AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM e
+  WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _N_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cent_cos} DESC, c.cent_id) AS rn
+    FROM e JOIN cents c ON true
+  ) t WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cent_cos} DESC, c.cent_id) AS rn
+    FROM e JOIN cents c ON true
+    WHERE e.vec_id < {_N_QUERIES}
+  ) t WHERE rn <= {_N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {pair_cos} AS cosine
+  FROM probes p
+  JOIN assign a ON a.cent_id = p.cent_id
+  JOIN e q ON q.vec_id = p.query_id
+  JOIN e c ON c.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("p08_ann_ivf", oracle=_p08(False), tags=("pipeline", "similarity"))
+def p08_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: coarse quantizer (8 frozen centroids — production
+    replaces the frozen sample with k-means output, same plan), every
+    corpus vector assigned to its nearest centroid's inverted list, queries
+    probe their 2 nearest lists, exact cosine rank within candidates.
+
+    Scale: the centroid set is tiny and broadcasts everywhere; assignment
+    shuffles (vec_id, cent_id) pairs — 16 bytes/row, not vectors; the
+    candidate join is an equi-join on cent_id so per-query work is
+    O(corpus/K · nprobe), not O(corpus).  Compare p07 (LSH buckets): IVF
+    gives data-adaptive partitioning, LSH gives hash-oblivious buckets.
+    """
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(_p08(True))

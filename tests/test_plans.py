@@ -107,3 +107,12 @@ def test_q21_scalar_subquery_broadcasts(spark, sf_dir):
     s = explain_str(df)
     assert "BroadcastHashJoin" in s
     assert "CartesianProduct" not in s
+
+
+def test_p08_ivf_centroid_broadcast(spark, sf_dir):
+    # the 8-row centroid set must broadcast (nested-loop over a broadcast
+    # side, never CartesianProduct); candidate joins stay equi-joins
+    df = SPECS["p08_ann_ivf"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s
