@@ -278,11 +278,16 @@ class Session:
 
         m = _EXPLAIN_RE.match(q)
         if m and not q.lower().startswith("explain table"):
+            # reference shape: (type, plan) rows logical_plan /
+            # logical_plan_opt / physical_plan (physical_explain.rs:24-33)
             child = self.sql(m.group("query"))
-            plan = child._jdf.queryExecution().toString()
-            return self.spark.createDataFrame(
-                [(line,) for line in plan.splitlines()], "plan string"
-            )
+            qe = child._jdf.queryExecution()
+            rows = [
+                ("logical_plan", qe.analyzed().toString()),
+                ("logical_plan_opt", qe.optimizedPlan().toString()),
+                ("physical_plan", qe.executedPlan().toString()),
+            ]
+            return self.spark.createDataFrame(rows, "type string, plan string")
 
         m = _COPY_RE.match(q)
         if m:

@@ -242,3 +242,13 @@ def test_csv_empty_is_null(spark, tmp_path):
     df = Session(spark).read_csv(str(p))
     got = sorted(tuple(r) for r in df.collect())
     assert got == [(1, "CA"), (2, None)]
+
+
+def test_explain_output_shape(spark):
+    # reference explain returns (type, plan) rows logical_plan /
+    # logical_plan_opt / physical_plan (physical_explain.rs:24-33)
+    from sqlrs_spark.session import Session
+
+    out = Session(spark).sql("explain select 1 + 1").collect()
+    assert [r.type for r in out] == ["logical_plan", "logical_plan_opt", "physical_plan"]
+    assert all(r.plan for r in out)

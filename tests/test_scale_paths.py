@@ -1,0 +1,104 @@
+"""Scale-path tests: bucketed co-located joins and skew salting.
+
+These exercise the two plan-level tools the 100 TB design leans on beyond
+AQE (README §Scale design): bucketing both fact tables on the join key so
+orders⋈lineitem never shuffles, and deterministic salting for hot keys.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlrs_spark.operators.skew import salted_join
+from sqlrs_spark.sources.bucketing import (
+    bucketed_join_is_shuffle_free,
+    write_bucketed,
+)
+from sqlrs_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"drop table if exists {t}")
+    write_bucketed(orders, "orders_b", "o_orderkey", 8, sort_by="o_orderkey")
+    write_bucketed(lineitem, "lineitem_b", "l_orderkey", 8, sort_by="l_orderkey")
+    yield "orders_b", "lineitem_b"
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"drop table if exists {t}")
+
+
+def test_bucketed_fact_join_no_shuffle(spark, bucketed_tables):
+    left, right = bucketed_tables
+    # disable broadcast so the test proves bucketing (not broadcast) elides
+    # the exchanges — at real scale neither side is broadcastable anyway
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert bucketed_join_is_shuffle_free(
+            spark, left, right, on=[F.col("o_orderkey") == F.col("l_orderkey")]
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
+    left, right = bucketed_tables
+    plain = (
+        load_table(spark, sf_dir, "orders")
+        .join(load_table(spark, sf_dir, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .count()
+    )
+    bucketed = (
+        spark.table(left)
+        .join(spark.table(right), F.col("o_orderkey") == F.col("l_orderkey"))
+        .count()
+    )
+    assert plain == bucketed > 0
+
+
+def test_salted_join_matches_plain_inner(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    plain = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+        "o_orderstatus"
+    ).agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    salted = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=8).groupBy(
+        "o_orderstatus"
+    ).agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_matches_plain_left(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    # restrict the dim so some fact rows go unmatched (exercise null-extension)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    plain = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left").count()
+    salted = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=8, how="left").count()
+    assert plain == salted > 0
+
+
+def test_salted_join_rejects_dim_preserving(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError):
+        salted_join(li, orders, "l_orderkey", "o_orderkey", how="right")
+
+
+def test_salted_join_spreads_shuffle_key(spark, sf_dir):
+    # plan must shuffle on (key, salt), not key alone
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=8)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "__salt" in plan
