@@ -1,0 +1,95 @@
+"""Differential fuzzing: hypothesis-generated SQL run on Spark AND DuckDB.
+
+The reference's slt corpus pins known scenarios; this layer searches the
+space the corpus doesn't enumerate — random projections, conjunctive/
+disjunctive predicates, and grouped aggregates over `lineitem` — and
+requires bit-identical results from both engines (same multiset compare
+the driver's t2 gate uses).
+
+Kept deliberately ANSI-neutral: integer-typed aggregates only (double
+sums are association-order-dependent), no timestamp outputs (timezone),
+comparisons only between same-typed operands.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.oracle import compare
+
+KEY_COLS = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]
+
+_pred = st.one_of(
+    st.integers(1, 50).map(lambda x: f"l_quantity < {x}"),
+    st.integers(1000, 90000).map(lambda x: f"l_extendedprice >= {x}"),
+    st.sampled_from(["R", "A", "N"]).map(lambda v: f"l_returnflag = '{v}'"),
+    st.sampled_from(["O", "F"]).map(lambda v: f"l_linestatus = '{v}'"),
+    st.integers(2, 7).map(lambda k: f"l_orderkey % {k} = 0"),
+)
+
+_where = st.lists(_pred, min_size=0, max_size=3).flatmap(
+    lambda ps: st.sampled_from([" AND ", " OR "]).map(
+        lambda op: ("WHERE " + op.join(ps)) if ps else ""
+    )
+)
+
+
+@st.composite
+def select_query(draw):
+    cols = draw(st.lists(st.sampled_from(KEY_COLS), min_size=1, max_size=4, unique=True))
+    where = draw(_where)
+    proj = ", ".join(cols)
+    order = ", ".join(cols)
+    limit = draw(st.sampled_from([50, 100]))
+    return (
+        f"SELECT {proj} FROM lineitem {where} "
+        f"ORDER BY {order}, l_orderkey, l_linenumber LIMIT {limit}"
+    )
+
+
+@st.composite
+def agg_query(draw):
+    key = draw(st.sampled_from(KEY_COLS))
+    where = draw(_where)
+    return (
+        f"SELECT {key}, COUNT(*) AS n, MIN(l_orderkey) AS min_k, "
+        f"MAX(l_orderkey) AS max_k, SUM(l_linenumber) AS sum_ln, "
+        f"COUNT(DISTINCT l_linenumber) AS nd_ln "
+        f"FROM lineitem {where} GROUP BY {key} ORDER BY {key}"
+    )
+
+
+@pytest.fixture(scope="module")
+def engines(spark, duck, sf_dir, oracle_sf_dir):
+    from tests.oracle import register_duck_views
+    from sqlrs_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    register_duck_views(duck, sf_dir)
+    return spark, duck
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=select_query())
+def test_differential_select(engines, sql):
+    spark, duck = engines
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=agg_query())
+def test_differential_agg(engines, sql):
+    spark, duck = engines
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"
