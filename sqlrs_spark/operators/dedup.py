@@ -230,7 +230,7 @@ _NGRAM = 4
 _NGRAM_T = 0.37
 
 
-def _p04(spark_dialect: bool) -> str:
+def _p04(spark_dialect: bool, ordered: bool = True) -> str:
     if spark_dialect:
         grams = (
             f"array_distinct(transform(sequence(1, greatest(length(text) - {_NGRAM - 1}, 1)), "
@@ -253,7 +253,7 @@ WITH d AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
 FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE {jac} >= {_NGRAM_T}
-ORDER BY doc_a, doc_b
+{"ORDER BY doc_a, doc_b" if ordered else ""}
 """
 
 
@@ -308,3 +308,105 @@ def p05_dedup_embedding(spark, sf_dir):
     oracle bit-for-bit."""
     register_views(spark, sf_dir, ("embeddings",))
     return spark.sql(_p05(True))
+
+
+# ---------------------------------------------------------------------------
+# p09 — dedup clustering: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 25
+
+
+def connected_components(edges, nodes, max_iters: int = _CC_MAX_ITERS):
+    """Min-label propagation connected components over an edge DataFrame.
+
+    ``edges``: (a, b) undirected pairs; ``nodes``: (doc_id) — singletons
+    become their own cluster.  Each iteration joins labels across edges and
+    takes the min — the standard Spark pattern for components when graph
+    libraries aren't available.  Converges in O(component diameter)
+    iterations; dedup clusters are shallow, so this is a handful of rounds.
+
+    Scale notes: every round is one shuffle keyed by doc_id over
+    (id, label) longs — never document bodies; `localCheckpoint` truncates
+    the lineage so round N's plan doesn't replay rounds 1..N-1 (on a real
+    cluster use `spark.sparkContext.setCheckpointDir` + `checkpoint()` for
+    fault tolerance instead); convergence is detected with a count of
+    changed labels, which is a cheap aggregate, not a collect of the data.
+    """
+    from pyspark.sql import functions as F
+
+    bidir = edges.selectExpr("a AS src", "b AS nbr").unionByName(
+        edges.selectExpr("b AS src", "a AS nbr")
+    )
+    labels = nodes.select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr_labels = (
+            bidir.join(labels, bidir["nbr"] == labels["doc_id"])
+            .select(F.col("src").alias("doc_id"), F.col("cluster_id"))
+        )
+        new_labels = (
+            labels.unionByName(nbr_labels)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.doc_id") == F.col("o.doc_id"))
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+_P09_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_p04(False, ordered=False)}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM labels l
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id) s
+  ON s.cluster_id = l.cluster_id
+ORDER BY l.doc_id
+"""
+
+
+@register("p09_dedup_clusters", oracle=_P09_ORACLE, tags=("pipeline", "dedup"))
+def p09_dedup_clusters(spark, sf_dir):
+    """Dedup clustering: near-dup pairs (p04's n-gram Jaccard graph) →
+    connected components → (doc_id, cluster_id, cluster_size), where
+    cluster_id is the component's minimum doc_id — the canonical document
+    a dedup pipeline keeps.
+
+    The iterative min-label propagation is non-recursive-SQL on the Spark
+    side (Spark has no recursive CTEs) but the DuckDB oracle checks it
+    against a WITH RECURSIVE transitive closure — full value parity for an
+    iterative distributed algorithm.
+    """
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ("documents",))
+    pairs = spark.sql(_p04(True, ordered=False))
+    edges = pairs.selectExpr("doc_a AS a", "doc_b AS b")
+    nodes = spark.table("documents").select("doc_id")
+    labels = connected_components(edges, nodes)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    )
