@@ -46,15 +46,18 @@ def main() -> None:
     # throughput — the number that scales to a long-lived cluster — rather
     # than single-process JVM warmup, which is a fixed cost amortized over
     # a session's lifetime.
+    # Best-of-2 timed runs damp local-machine noise (GC pauses, other
+    # processes) without hiding real cost — both runs execute the full plan.
     timings: dict[str, float] = {}
     for s in specs:
         s.fn(spark, sf_dir).collect()  # warm
-        t0 = time.perf_counter()
-        df = s.fn(spark, sf_dir)
-        n = len(df.collect())
-        dt = time.perf_counter() - t0
-        timings[s.name] = round(dt, 4)
-        print(f"# {s.name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = len(s.fn(spark, sf_dir).collect())
+            best = min(best, time.perf_counter() - t0)
+        timings[s.name] = round(best, 4)
+        print(f"# {s.name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -71,6 +71,16 @@ def engines(spark, duck, sf_dir, oracle_sf_dir):
     return spark, duck
 
 
+@pytest.fixture(scope="module")
+def engines_join(spark, duck, sf_dir):
+    from tests.oracle import register_duck_views
+    from sqlrs_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "orders"))
+    register_duck_views(duck, sf_dir)
+    return spark, duck
+
+
 @settings(
     max_examples=12,
     deadline=None,
@@ -91,5 +101,35 @@ def test_differential_select(engines, sql):
 @given(sql=agg_query())
 def test_differential_agg(engines, sql):
     spark, duck = engines
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"
+
+
+@st.composite
+def join_query(draw):
+    how = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    where = draw(_where)
+    o_pred = draw(
+        st.sampled_from(
+            ["", "AND o_orderstatus = 'F' ", "AND o_totalprice > 50000 "]
+        )
+    )
+    key = draw(st.sampled_from(["o_orderstatus", "l_returnflag", "l_linestatus"]))
+    return (
+        f"SELECT {key}, COUNT(*) AS n, MIN(l_orderkey) AS min_k, "
+        f"SUM(l_linenumber) AS sum_ln "
+        f"FROM lineitem {how} orders ON o_orderkey = l_orderkey {o_pred}"
+        f"{where} GROUP BY {key} ORDER BY {key}"
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=join_query())
+def test_differential_join(engines_join, sql):
+    spark, duck = engines_join
     ok, msg = compare(spark.sql(sql), duck, sql)
     assert ok, f"{msg}\nSQL: {sql}"
