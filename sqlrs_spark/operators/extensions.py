@@ -323,3 +323,44 @@ def x10_sessionization(spark, sf_dir):
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "x11_correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_quantity > 25.0) AS big_lines
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-02-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    ORDER BY o_orderkey
+    """,
+    tags=("extension", "subquery"),
+)
+def x11_correlated_subquery(spark, sf_dir):
+    """Correlated EXISTS + correlated scalar aggregate subquery — beyond the
+    reference (it handles only *uncorrelated* scalar subqueries,
+    src/binder/table/subquery.rs:125); Catalyst decorrelates both into
+    joins (EXISTS → left-semi, scalar count → left outer aggregate join),
+    so the plan is shuffle-keyed on l_orderkey rather than re-executing the
+    subquery per row — the only formulation that survives at scale.
+    """
+    from sqlrs_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority,
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_quantity > 25.0) AS big_lines
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-02-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        ORDER BY o_orderkey
+        """
+    )
