@@ -410,3 +410,56 @@ def p09_dedup_clusters(spark, sf_dir):
         .select("doc_id", "cluster_id", "cluster_size")
         .orderBy("doc_id")
     )
+
+# ---------------------------------------------------------------------------
+# p10 — canonical-document selection per source (arg-max dedup)
+# ---------------------------------------------------------------------------
+
+_P10_ORACLE = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id DESC) AS rn,
+         COUNT(*)    OVER (PARTITION BY source) AS n_docs,
+         SUM(n_chars) OVER (PARTITION BY source) AS total_chars
+  FROM documents
+)
+SELECT source, doc_id AS canonical_doc, n_chars AS canonical_chars,
+       n_docs, total_chars
+FROM ranked WHERE rn = 1
+ORDER BY source
+"""
+
+
+@register("p10_dedup_canonical", oracle=_P10_ORACLE, tags=("pipeline", "dedup"))
+def p10_dedup_canonical(spark, sf_dir):
+    """Canonical-document selection: per source, keep the longest doc
+    (doc_id as deterministic tie-break) plus group stats.
+
+    The oracle states it as ROW_NUMBER()-over-partition; the Spark plan
+    deliberately uses max(struct(n_chars, doc_id)) aggregation instead —
+    lexicographic struct max ≡ the same argmax, but it partial-aggregates
+    map-side and never sorts, so at 100 TB it is one combine-shuffle of one
+    row per source rather than a full partition sort under a window.
+    """
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    best = F.max(F.struct("n_chars", "doc_id")).alias("best")
+    return (
+        docs.groupBy("source")
+        .agg(
+            best,
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "source",
+            F.col("best.doc_id").alias("canonical_doc"),
+            F.col("best.n_chars").alias("canonical_chars"),
+            "n_docs",
+            "total_chars",
+        )
+        .orderBy("source")
+    )

@@ -188,3 +188,132 @@ def t04_fingerprint(spark, sf_dir):
     hashes) — a content-defined fingerprint for shift-tolerant dedup."""
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_t04(True))
+
+# ---------------------------------------------------------------------------
+# t05 — document chunking (overlapping token windows for training samples)
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 32, 24  # 8-token overlap
+
+
+def _t05(spark_dialect: bool) -> str:
+    if spark_dialect:
+        split = "split(text, ' ')"
+        series = f"explode(sequence(0, greatest(size(toks) - 1, 0), {_STRIDE}))"
+        chunk = f"slice(toks, chunk_start + 1, {_CHUNK})"
+        join_ = "array_join({c}, ' ')"
+        nel = "size({c})"
+    else:
+        split = "string_split(text, ' ')"
+        series = f"unnest(generate_series(0, len(toks) - 1, {_STRIDE}))"
+        chunk = f"list_slice(toks, chunk_start + 1, chunk_start + {_CHUNK})"
+        join_ = "array_to_string({c}, ' ')"
+        nel = "len({c})"
+    return f"""
+SELECT doc_id,
+       CAST(chunk_start AS BIGINT)          AS chunk_start,
+       CAST({nel.format(c=chunk)} AS INT)   AS n_chunk_tokens,
+       {join_.format(c=chunk)}              AS chunk_text
+FROM (
+  SELECT doc_id, toks, {series} AS chunk_start
+  FROM (SELECT doc_id, {split} AS toks FROM documents) t
+) s
+ORDER BY doc_id, chunk_start
+"""
+
+
+@register("t05_chunking", oracle=_t05(False), tags=("pipeline", "text"))
+def t05_chunking(spark, sf_dir):
+    """Overlapping token-window chunking (32-token chunks, stride 24) — the
+    fan-out step that turns documents into training samples.
+
+    Plan: split → explode(sequence) → slice, all codegen'd builtins; the
+    explode multiplies rows ~n_tokens/stride with zero shuffle, so at
+    100 TB it stays embarrassingly parallel (output partition count is
+    governed by input splits; repartition after if the fan-out skews)."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_t05(True))
+
+
+# ---------------------------------------------------------------------------
+# t06 — repetition ratio (duplicated-trigram share, a quality signal)
+# ---------------------------------------------------------------------------
+
+def _t06(spark_dialect: bool) -> str:
+    if spark_dialect:
+        split = "split(text, ' ')"
+        tri = (
+            "transform(sequence(1, size(toks) - 2), i -> "
+            "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
+            "element_at(toks, i + 2)))"
+        )
+        nel, nuq = "size(tris)", "size(array_distinct(tris))"
+        empty = "CAST(array() AS ARRAY<STRING>)"
+    else:
+        split = "string_split(text, ' ')"
+        tri = (
+            "list_transform(generate_series(1, len(toks) - 2), i -> "
+            "concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"
+        )
+        nel, nuq = "len(tris)", "len(list_distinct(tris))"
+        empty = "CAST([] AS VARCHAR[])"
+    return f"""
+WITH tri AS (
+  SELECT doc_id,
+         CASE WHEN size_ok THEN {tri} ELSE {empty} END AS tris
+  FROM (SELECT doc_id, toks, {('size(toks)' if spark_dialect else 'len(toks)')} >= 3 AS size_ok
+        FROM (SELECT doc_id, {split} AS toks FROM documents) t0) t
+)
+SELECT doc_id,
+       CAST({nel} AS BIGINT) AS n_trigrams,
+       CAST({nuq} AS BIGINT) AS n_uniq_trigrams,
+       CASE WHEN {nel} > 0
+            THEN 1.0 - CAST({nuq} AS DOUBLE) / CAST({nel} AS DOUBLE)
+            ELSE 0.0 END AS rep_ratio
+FROM tri
+ORDER BY doc_id
+"""
+
+
+@register("t06_repetition", oracle=_t06(False), tags=("pipeline", "text"))
+def t06_repetition(spark, sf_dir):
+    """Duplicated-trigram ratio — the standard boilerplate/repetition quality
+    filter. 1-based element_at on both engines keeps indexing identical;
+    pure projection, codegen, no shuffle."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_t06(True))
+
+
+# ---------------------------------------------------------------------------
+# t07 — pattern scrub counts (emails / URLs / digit runs / non-ascii)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"
+_URL_RE = "https?://[^ ]+"
+_DIGITS_RE = "[0-9]{4,}"
+
+
+def _t07(spark_dialect: bool) -> str:
+    n = "size" if spark_dialect else "len"
+    # Spark regexp_replace is global; DuckDB needs the explicit 'g' flag
+    scrub = "regexp_replace(text, '[ -~]', '')" if spark_dialect else (
+        "regexp_replace(text, '[ -~]', '', 'g')"
+    )
+    return f"""
+SELECT doc_id,
+       CAST({n}(regexp_extract_all(text, '{_EMAIL_RE}', 0)) AS INT)  AS n_emails,
+       CAST({n}(regexp_extract_all(text, '{_URL_RE}', 0)) AS INT)    AS n_urls,
+       CAST({n}(regexp_extract_all(text, '{_DIGITS_RE}', 0)) AS INT) AS n_digit_runs,
+       length({scrub})                                               AS n_non_ascii
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("t07_pattern_scrub", oracle=_t07(False), tags=("pipeline", "text"))
+def t07_pattern_scrub(spark, sf_dir):
+    """PII-ish pattern counts (emails, URLs, long digit runs, non-ascii
+    chars) — the signals a scrubbing/filter pass keys on. Regexes stay
+    JVM-side (codegen'd regexp_extract_all), no Python."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_t07(True))
