@@ -1,4 +1,5 @@
 from sqlrs_spark.plans.checks import (
+    count_nodes,
     explain_str,
     has_broadcast_join,
     has_partial_agg,
@@ -7,6 +8,7 @@ from sqlrs_spark.plans.checks import (
 )
 
 __all__ = [
+    "count_nodes",
     "explain_str",
     "has_broadcast_join",
     "has_partial_agg",

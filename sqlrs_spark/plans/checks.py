@@ -40,6 +40,16 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def count_nodes(df: DataFrame, node: str) -> int:
+    """Occurrences of a physical node in the plan, counted once per node.
+
+    ``formatted`` explain prints every operator twice (tree line + the
+    ``(n) NodeName`` detail header) — counting raw substrings double-counts,
+    so count the numbered detail headers only.
+    """
+    return len(re.findall(rf"\(\d+\) {re.escape(node)}\b", explain_str(df)))
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df) or "BroadcastNestedLoopJoin" in explain_str(df)
 

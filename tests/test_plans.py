@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 
 from sqlrs_spark.plans import (
+    count_nodes,
     explain_str,
     has_broadcast_join,
     has_partial_agg,
@@ -116,3 +117,44 @@ def test_p08_ivf_centroid_broadcast(spark, sf_dir):
     s = explain_str(df)
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s
+
+
+def test_q22_nation_filter_first(spark, sf_dir):
+    # the Q7 rewrite: nation filters must reach the supplier/customer side
+    # BEFORE the fact-fact shuffle; exactly one shuffled (non-broadcast)
+    # join may remain (lineitem⋈orders on orderkey)
+    df = SPECS["q22_volume_shipping"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "CartesianProduct" not in s
+    assert count_nodes(df, "BroadcastHashJoin") >= 2
+    assert count_nodes(df, "SortMergeJoin") + count_nodes(df, "ShuffledHashJoin") <= 1
+    assert any("n_name" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_q25_agg_then_join_shape(spark, sf_dir):
+    # large-orders: lineitem aggregates (partial → final) before joining
+    # back; final order+limit fuses to TakeOrderedAndProject
+    df = SPECS["q25_large_orders"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert has_partial_agg(df)
+    assert "TakeOrderedAndProject" in s
+    assert "CartesianProduct" not in s
+
+
+def test_p10_argmax_is_aggregate_not_window(spark, sf_dir):
+    # canonical-doc selection must compile to partial-aggregating
+    # max(struct), not a Window over a per-partition sort
+    df = SPECS["p10_dedup_canonical"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "Window" not in s
+    assert has_partial_agg(df)
+
+
+def test_t05_chunking_no_shuffle_before_sort(spark, sf_dir):
+    # the chunk fan-out (explode) must not introduce an exchange; the only
+    # exchange allowed is the cosmetic final ORDER BY's range partitioning
+    df = SPECS["t05_chunking"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert count_nodes(df, "Exchange") <= 1
+    assert "Generate" in s  # the explode
