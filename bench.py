@@ -22,14 +22,17 @@ def main() -> None:
     from sqlrs_spark.session import build_spark
 
     # Scale-aware input split size: target ≥2 splits per core on the largest
-    # table so every core scans, clamped to [1 MiB, 128 MiB].  At cluster
+    # table so every core scans, clamped to [4 MiB, 128 MiB].  At cluster
     # scale (TB+ inputs) the formula saturates at Spark's 128 MiB default —
     # this only kicks in when the data is small relative to the core count.
+    # The 4 MiB floor matters at toy SFs: below a few MB per task the
+    # per-task scheduling overhead dominates the scan itself (measured ~25%
+    # of total bench wall at sf0.1 with a 1 MiB floor).
     biggest = max(
         (os.path.getsize(os.path.join(sf_dir, f)) for f in os.listdir(sf_dir)),
         default=0,
     )
-    mpb = min(max(biggest // (2 * cpus), 1 << 20), 128 << 20)
+    mpb = min(max(biggest // (2 * cpus), 4 << 20), 128 << 20)
     spark = build_spark(
         "sqlrs_spark_bench",
         cores=cpus,
