@@ -1,0 +1,184 @@
+"""Temporal / interval operators Spark has no primitive for — the custom
+operator family (as-of join, range join, exact quantiles) built as
+compositions of DataFrame ops.
+
+The reference has none of these (its join types are Inner/Left/Right/Full/
+Cross only, src/binder/table/join.rs:18-24, and its aggregate set is
+count/sum/min/max, src/executor/aggregate/ — SURVEY §2.3/§2.4); they are
+beyond-reference extensions in the spirit of the training-data-pipeline
+layer: event attribution, banding, distribution stats.
+
+Scale design:
+- as-of join: the naive formulation (pair join on key + time predicate +
+  argmax) is O(matching pairs) and explodes on hot keys.  The union+window
+  formulation used here is O(n log n) within each key partition: one
+  shuffle of both inputs keyed by user, a per-key sort, and a running
+  `last(..., ignorenulls)` — no pair materialization, skew bounded by the
+  hottest single user.
+- range join: the band table is tiny and static → broadcast nested-loop
+  with the range predicate is the right plan at any fact size (each row
+  probes B bands; no shuffle).  For *large* range tables the scale path is
+  binning both sides to overlap keys and equi-joining on the bin.
+- exact quantiles: Spark's `percentile` is an exact sort-based aggregate
+  with a partial phase; at 100 TB you'd switch to `approx_percentile`
+  (t-digest) — kept exact here because the driver hash-compares values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sqlrs_spark.operators.common import t
+from sqlrs_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# x12 — as-of join (event attribution: click → most recent prior view)
+# ---------------------------------------------------------------------------
+
+_X12_ORACLE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id, c.user_id,
+       epoch_us(c.ts) AS click_us,
+       epoch_us(v.ts) AS view_us,
+       v.value        AS view_value
+FROM clicks c
+ASOF LEFT JOIN views v ON c.user_id = v.user_id AND v.ts <= c.ts
+ORDER BY c.event_id
+"""
+
+
+@register("x12_asof_join", oracle=_X12_ORACLE, tags=("extension", "temporal"))
+def x12_asof_join(spark, sf_dir):
+    """As-of join: for every click, the most recent view (ts <= click ts)
+    by the same user — the DuckDB `ASOF JOIN` arbitrates correctness.
+
+    Implementation is the union+window formulation (see module docstring):
+    tag views 0 / clicks 1, sort within user by (ts, tag) so an
+    equal-timestamp view sorts before the click (<= semantics), and carry
+    the last non-null view value/ts forward.  (user_id, ts) pairs are
+    unique in the event stream at microsecond precision, so the as-of
+    choice is deterministic.  Timestamps exit as epoch micros (BIGINT) to
+    stay timezone-proof.
+    """
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("value").alias("view_value"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("double").alias("view_value"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        views.unionByName(clicks)
+        .withColumn("asof_value", F.last("view_value", ignorenulls=True).over(win))
+        .withColumn("asof_ts", F.last("view_ts", ignorenulls=True).over(win))
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("click_us"),
+            F.unix_micros("asof_ts").alias("view_us"),
+            F.col("asof_value").alias("view_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x13 — range (interval) join against a band dimension
+# ---------------------------------------------------------------------------
+
+_BANDS = [("low", 0.0, 5.0), ("mid", 5.0, 15.0), ("high", 15.0, 40.0), ("xl", 40.0, 1e12)]
+
+_X13_ORACLE = f"""
+SELECT event_type, band,
+       COUNT(*) AS n_events,
+       CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) AS total_value
+FROM events
+JOIN (VALUES {", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)})
+     bands(band, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY event_type, band
+ORDER BY event_type, band
+"""
+
+
+@register("x13_range_join", oracle=_X13_ORACLE, tags=("extension", "temporal"))
+def x13_range_join(spark, sf_dir):
+    """Range join: bucket event values into a band dimension via a
+    non-equi interval predicate, then aggregate per (type, band).
+
+    Spark picks BroadcastNestedLoopJoin for the 4-row band side — the
+    correct plan (module docstring).  Money-style sums go through
+    DECIMAL(18,2) so the hash matches the oracle at any partitioning.
+    """
+    ev = t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("event_type", "band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type", "band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x14 — exact quantiles (distribution stats per group)
+# ---------------------------------------------------------------------------
+
+_X14_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+       MIN(l_quantity) AS qty_min,
+       MAX(l_quantity) AS qty_max,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("x14_quantiles", oracle=_X14_ORACLE, tags=("extension", "agg"))
+def x14_quantiles(spark, sf_dir):
+    """Exact grouped quartiles of l_quantity (integral doubles, so the
+    linear interpolation at quarter fractions is exact in both engines).
+    Spark `percentile` ≡ DuckDB `quantile_cont` (both lower+(upper-lower)*f).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").alias(
+                "qty_quartiles"
+            ),
+            F.min("l_quantity").alias("qty_min"),
+            F.max("l_quantity").alias("qty_max"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -158,3 +158,22 @@ def test_t05_chunking_no_shuffle_before_sort(spark, sf_dir):
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
     assert count_nodes(df, "Exchange") <= 1
     assert "Generate" in s  # the explode
+
+
+def test_x12_asof_no_pair_join(spark, sf_dir):
+    # union+window as-of: no join node at all — the only exchanges are the
+    # user_id hash partition for the window and the cosmetic final sort
+    df = SPECS["x12_asof_join"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "Join" not in s, "as-of must not materialize pairs"
+    assert count_nodes(df, "Exchange") <= 2
+    assert "Window" in s
+
+
+def test_x13_range_join_broadcasts(spark, sf_dir):
+    # 4-row band side must broadcast; the range predicate rides on the
+    # nested loop, never a shuffled cartesian
+    df = SPECS["x13_range_join"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in s
+    assert "CartesianProduct" not in s
