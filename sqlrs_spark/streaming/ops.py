@@ -221,3 +221,59 @@ def s03_stream_sliding(spark, sf_dir):
         )
     )
     return run_to_completion(agg, "s03").orderBy("window_start", "event_type")
+
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+@register(
+    "s04_stream_dedup",
+    oracle="""
+    SELECT md5(text) AS text_hash FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    tags=("pipeline", "streaming", "dedup"),
+)
+def s04_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup: the continuous-ingestion twin of
+    p01_dedup_exact — emit each distinct content digest once as documents
+    stream in (dropDuplicates keyed on the 16-byte digest, append mode).
+
+    The emitted *set* of digests is deterministic (which arrival got kept
+    is not, so the output is the digest column only — the batch oracle is
+    GROUP BY md5(text)).  Scale: dedup state is one digest per distinct
+    doc, hash-partitioned across executors; a production pipeline bounds
+    it with dropDuplicatesWithinWatermark on the ingest timestamp so
+    state ages out past the dedup horizon.
+    """
+    configure_runtime(spark)
+    raw = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = (
+        raw.select(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .dropDuplicates(["text_hash"])
+    )
+    name = f"s04_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    spark.catalog.dropTempView(name)
+    return result.orderBy("text_hash")
