@@ -364,3 +364,34 @@ def x11_correlated_subquery(spark, sf_dir):
         ORDER BY o_orderkey
         """
     )
+
+
+@register(
+    "x15_approx_sketches",
+    oracle=None,  # sketch estimates are implementation-specific — rows-only check
+    tags=("extension", "agg", "sketch"),
+)
+def x15_approx_sketches(spark, sf_dir):
+    """Approximate aggregates — the 100 TB path for distincts/quantiles:
+    HLL++ approx_count_distinct (constant memory vs exact distinct's
+    shuffle-heavy expansion) and t-digest approx_percentile, grouped per
+    order status.
+
+    No oracle: sketch estimates are engine-implementation-specific (exact
+    twins with oracles: q14_agg_distinct, x14_quantiles).  Scale note: at
+    high cardinality exact COUNT(DISTINCT) rewrites to a two-phase expand +
+    reshuffle; the HLL sketch is a single partial-aggregating pass with
+    ~1.5 KB of state per group at rsd=0.05.
+    """
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.05).alias("approx_custs"),
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.5D, 0.95D, 0.99D), 1000)"
+            ).alias("price_pctiles"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )

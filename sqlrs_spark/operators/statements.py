@@ -214,3 +214,40 @@ def v05_catalog_tables(spark, sf_dir):
         .select("table_name")
         .orderBy("table_name")
     )
+
+
+@register(
+    "v09_partitioned_sink",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("extension", "sink"),
+)
+def v09_partitioned_sink(spark, sf_dir):
+    """Partitioned parquet sink round-trip: write the documents table
+    partitioned by `lang` (the layout a curated-corpus store uses so
+    downstream language-filtered scans prune whole directories), then read
+    it back and aggregate per partition.
+
+    Beyond-reference: the reference's only sinks are INSERT/CTAS into its
+    in-memory storage (SURVEY §2.1).  Scale: partition-by on a
+    low-cardinality column keeps file counts sane (#partitions × #tasks);
+    high-cardinality keys would need bucketing instead
+    (sources/bucketing.py).  The read-back proves partition pruning-ready
+    layout: each lang directory is self-contained.
+    """
+    register_views(spark, sf_dir, ("documents",))
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="sqlrs_sink_"), "documents_by_lang"
+    )
+    spark.table("documents").write.partitionBy("lang").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
