@@ -133,3 +133,53 @@ def test_differential_join(engines_join, sql):
     spark, duck = engines_join
     ok, msg = compare(spark.sql(sql), duck, sql)
     assert ok, f"{msg}\nSQL: {sql}"
+
+
+@st.composite
+def setop_query(draw):
+    op = draw(st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]))
+    p1, p2 = draw(_pred), draw(_pred)
+    cols = "l_orderkey, l_linenumber"
+    return (
+        f"SELECT {cols} FROM lineitem WHERE {p1} {op} "
+        f"SELECT {cols} FROM lineitem WHERE {p2} "
+        f"ORDER BY l_orderkey, l_linenumber LIMIT 100"
+    )
+
+
+@st.composite
+def having_query(draw):
+    key = draw(st.sampled_from(KEY_COLS))
+    where = draw(_where)
+    hv = draw(st.integers(1, 20))
+    return (
+        f"SELECT {key}, COUNT(*) AS n, SUM(l_linenumber) AS s "
+        f"FROM lineitem {where} GROUP BY {key} "
+        f"HAVING COUNT(*) >= {hv} ORDER BY {key}"
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=setop_query())
+def test_differential_setops(engines, sql):
+    # ANSI set-op semantics (UNION dedups, EXCEPT/INTERSECT are DISTINCT
+    # variants) must agree between engines
+    spark, duck = engines
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=having_query())
+def test_differential_having(engines, sql):
+    spark, duck = engines
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"
