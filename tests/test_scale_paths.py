@@ -102,3 +102,26 @@ def test_salted_join_spreads_shuffle_key(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     assert "__salt" in plan
+
+
+def test_bucketed_agg_join_pipeline_no_shuffle(spark, bucketed_tables):
+    # q25_large_orders' shape on bucketed tables: the per-order aggregate
+    # runs on the bucket key (no exchange), and the join-back to orders is
+    # co-located — the whole pipeline is shuffle-free.  This is the scale
+    # fix for q25's linearly-growing intermediate (README scale notes).
+    left, right = bucketed_tables
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        qty = (
+            spark.table(right)
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("sum_qty"))
+            .filter(F.col("sum_qty") > 250.0)
+        )
+        joined = spark.table(left).join(
+            qty, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
