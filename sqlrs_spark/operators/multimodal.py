@@ -178,3 +178,75 @@ def m02_frame_sample(spark, sf_dir):
     return sample_frames(binarize_documents(spark, sf_dir)).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+EMBED_SCHEMA = "doc_id bigint, embedding array<double>, norm double"
+_EMBED_DIM = 8
+
+
+def fake_embed(binary_df: DataFrame) -> DataFrame:
+    """Embedding-extraction plumbing: payload → fixed-dim float vector via
+    mapInPandas. The encoder is the md5-derived deterministic stand-in
+    (real builds swap in a model forward pass; batch shape, Arrow
+    transfer, and output schema are identical).
+
+    Scale: per-partition Python with no shuffle; at 100 TB this stage is
+    GPU/CPU-bound per batch, so partition sizing (not the plan) is the
+    tuning knob.
+    """
+
+    # self-contained closure — must pickle by value (no repo on executors)
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import math as _math
+
+        import pandas as _pd
+
+        def _vec(payload: bytes) -> list[float]:
+            return [
+                (
+                    int(
+                        _hashlib.md5(payload + b"|" + str(i).encode()).hexdigest()[:15],
+                        16,
+                    )
+                    % 1000
+                )
+                / 1000.0
+                for i in range(8)
+            ]
+
+        for pdf in batches:
+            vecs = [_vec(bytes(p)) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "embedding": vecs,
+                    "norm": [_math.sqrt(sum(x * x for x in v)) for v in vecs],
+                }
+            )
+
+    return binary_df.mapInPandas(op, schema=EMBED_SCHEMA)
+
+
+_M03_ORACLE = """
+WITH v AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 7), i ->
+           ((('0x'||substr(md5(text || '|' || i), 1, 15))::BIGINT % 1000) / 1000.0)
+         ) AS embedding
+  FROM documents
+)
+SELECT doc_id, embedding,
+       sqrt(list_sum(list_transform(embedding, x -> x * x))) AS norm
+FROM v
+ORDER BY doc_id
+"""
+
+
+@register("m03_fake_embed", oracle=_M03_ORACLE, tags=("pipeline", "multimodal"))
+def m03_fake_embed(spark, sf_dir):
+    """Payload → embedding extraction through the binary-column pipeline
+    (binarize → mapInPandas encoder stub → array<double> + norm). The
+    oracle recomputes each dimension from the text with the same md5
+    derivation, value-checking the whole Arrow array round-trip."""
+    return fake_embed(binarize_documents(spark, sf_dir)).orderBy("doc_id")
