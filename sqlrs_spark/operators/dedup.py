@@ -463,3 +463,62 @@ def p10_dedup_canonical(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+# ---------------------------------------------------------------------------
+# p11 — end-to-end corpus curation pipeline (filter → dedup → chunk budget)
+# ---------------------------------------------------------------------------
+
+
+def _p11(spark_dialect: bool) -> str:
+    if spark_dialect:
+        h = "md5(cast(text as binary))"
+        ntok = "size(split(text, ' '))"
+        nuniq = "size(array_distinct(split(text, ' ')))"
+        argmin = "min_by"
+        idiv = "div"
+    else:
+        h = "md5(text)"
+        ntok = "CAST(len(string_split(text, ' ')) AS INT)"
+        nuniq = "CAST(len(list_distinct(string_split(text, ' '))) AS INT)"
+        argmin = "arg_min"
+        idiv = "//"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, {h} AS h, {ntok} AS ntok,
+         {nuniq} / CAST({ntok} AS DOUBLE) AS ttr
+  FROM documents
+), kept AS (
+  SELECT h,
+         MIN(doc_id)               AS keep_id,
+         {argmin}(source, doc_id)  AS src,
+         {argmin}(ntok, doc_id)    AS ntok
+  FROM scored
+  WHERE ttr >= 0.4
+  GROUP BY h
+)
+SELECT src AS source,
+       COUNT(*)                                   AS n_docs,
+       CAST(SUM(ntok) AS BIGINT)                  AS total_tokens,
+       CAST(SUM(((ntok - 1) {idiv} 24) + 1) AS BIGINT) AS n_chunks
+FROM kept
+GROUP BY src
+ORDER BY src
+"""
+
+
+@register("p11_corpus_pipeline", oracle=_p11(False), tags=("pipeline", "dedup"), bench=True)
+def p11_corpus_pipeline(spark, sf_dir):
+    """End-to-end curation pipeline in one plan: quality filter
+    (type-token ratio ≥ 0.4) → exact dedup (keep min doc_id, arg-min
+    carries its source/token count) → per-source chunk budget
+    (32-token/stride-24 chunk count computed arithmetically — no explode
+    needed for accounting).
+
+    Scale: one digest-keyed shuffle for the dedup group-by and one tiny
+    shuffle for the per-source rollup; the quality features are map-side
+    codegen. This is the composition story: every stage is the same
+    declarative plan the standalone operators (t03, p01, t05) use, so
+    Catalyst fuses the whole pipeline into two stages.
+    """
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_p11(True))
