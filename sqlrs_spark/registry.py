@@ -48,6 +48,7 @@ def all_specs() -> dict[str, QuerySpec]:
     # import for side effect of registration
     import sqlrs_spark.operators.relational  # noqa: F401
     import sqlrs_spark.operators.analytics  # noqa: F401
+    import sqlrs_spark.operators.analytics_deep  # noqa: F401
     import sqlrs_spark.operators.statements  # noqa: F401
     import sqlrs_spark.operators.extensions  # noqa: F401
     import sqlrs_spark.operators.dedup  # noqa: F401

@@ -177,3 +177,44 @@ def test_x13_range_join_broadcasts(spark, sf_dir):
     s = explain_str(df)
     assert "BroadcastNestedLoopJoin" in s
     assert "CartesianProduct" not in s
+
+
+def test_q28_dims_broadcast_and_partial_agg(spark, sf_dir):
+    # Q9-shape profit: part/supplier/nation must broadcast (never shuffle
+    # the fact against a dim); the profit agg partial-aggregates map-side;
+    # the p_name LIKE filter reaches the part scan
+    df = SPECS["q28_nation_profit"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert count_nodes(df, "BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in s
+    assert has_partial_agg(df)
+
+
+def test_q30_preaggregates_orders_before_join(spark, sf_dir):
+    # Q13-shape: orders must aggregate to one row per custkey BEFORE the
+    # outer join (join input |custkeys|, not |orders|) — the partial agg
+    # and two hash aggs (per-cust, distribution) show up; no cartesian
+    df = SPECS["q30_customer_distribution"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert has_partial_agg(df)
+    assert count_nodes(df, "HashAggregate") >= 4  # 2 aggs × partial+final
+    assert "CartesianProduct" not in s
+
+
+def test_q32_exact_threshold_stays_jvm_side(spark, sf_dir):
+    # Q17-shape: the 20%-of-avg membership test must be pure codegen (no
+    # Python eval) and the Brand#1 filter must reach the part scan
+    df = SPECS["q32_small_qty_revenue"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert any("Brand#1" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_q34_argmin_single_aggregate_no_window(spark, sf_dir):
+    # Q2-shape argmin: min(struct(price, suppkey)) — one aggregate, no
+    # Window, no join-back re-aggregation (≤2 exchanges: agg + final sort)
+    df = SPECS["q34_min_cost_supplier"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "Window" not in s
+    assert has_partial_agg(df)
+    assert count_nodes(df, "Exchange") <= 2
