@@ -1,0 +1,185 @@
+"""Corpus sampling / packing operators for training-data pipelines.
+
+Beyond-reference capability (BASELINE.json north star): the selection and
+batching steps a 100 TB pretraining-corpus build needs between curation
+(operators/dedup.py, operators/text.py) and tokenization — deterministic
+stratified sampling, target-ratio domain mixing, and token-budget sequence
+packing.
+
+Determinism discipline: every sampling decision is a pure function of the
+row (md5-derived hash — functions/hashing.py), never rand()/Math.random —
+so reruns, retried tasks, and the DuckDB oracle all select the identical
+subset.  That property is what makes sampled pipelines debuggable at
+cluster scale: a lost executor recomputes its partition bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sqlrs_spark.functions.hashing import h31_duck, h31_spark
+from sqlrs_spark.operators.common import t
+from sqlrs_spark.registry import register
+
+# per-language sampling rate in 1/1000ths: downsample the dominant
+# language, keep the rest at a higher rate (the usual rebalancing move)
+_RATE_SQL = "CASE WHEN lang = 'en' THEN 100 ELSE 300 END"
+
+# deterministic per-doc draw in [0, 1000): md5 of the doc id → 31-bit
+# hash → mod 1000.  Independent of the minhash/fingerprint hash uses
+# (different input string), so sampling doesn't correlate with dedup.
+_DRAW_SPARK = f"pmod({h31_spark('cast(doc_id as string)')}, 1000)"
+_DRAW_DUCK = f"(({h31_duck('doc_id::VARCHAR')}) % 1000)"
+
+
+@register(
+    "p12_stratified_sample",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS sampled_chars,
+           MIN(doc_id) AS first_doc
+    FROM documents
+    WHERE {_DRAW_DUCK} < {_RATE_SQL}
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("pipeline", "sampling"),
+)
+def p12_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum rate sampling: each language keeps a fixed
+    fraction of documents, chosen by a content-independent hash draw.
+
+    The draw `md5(doc_id) mod 1000 < rate` is a Bernoulli filter evaluated
+    row-local — a pure codegen projection+filter with NO shuffle, NO
+    global coordination, and the same subset on every rerun.  This is the
+    scale path for corpus rebalancing: at 100 TB it is a single scan, and
+    the rate table extends to any stratum count without a plan change
+    (vs. df.sampleBy, whose seeds don't reproduce across engines).
+    Output is the per-stratum audit summary (count/chars) a mixing step
+    consumes.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.expr(_DRAW_SPARK) < F.expr(_RATE_SQL))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sampled_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "p13_token_budget_pack",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    )
+    SELECT source,
+           (cum - n_chars) // 16384 AS pack_id,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS pack_chars
+    FROM d
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    """,
+    tags=("pipeline", "sampling"),
+)
+def p13_token_budget_pack(spark, sf_dir):
+    """Token-budget sequence packing: assign documents to fixed-budget
+    packs (16 Ki chars ≈ one training sequence) by running offset within
+    their source shard.
+
+    A doc joins the pack its cumulative start offset falls in —
+    floor((cum − own) / budget) — the standard offset-based packing that
+    needs ONE pass: a running sum per source (window, ROWS UNBOUNDED
+    PRECEDING partial-aggregates in a single shuffle on source) and a
+    grouped rollup of pack stats.  Arithmetic is integer end-to-end
+    (BIGINT div), exact past 2^53 where a double cumsum would drift at
+    100 TB offsets.  Scale note: packing partitions by the source shard
+    key, so parallelism = shard count; a production corpus has thousands
+    of shards (here 20) — for fewer, pre-split sources on a hash prefix.
+    """
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = (
+        F.sum("n_chars")
+        .over(
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum")
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars", w)
+        .select(
+            "source",
+            F.expr("div(cum - n_chars, 16384)").alias("pack_id"),
+            "n_chars",
+        )
+        .groupBy("source", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("pack_chars"))
+        .orderBy("source", "pack_id")
+    )
+
+
+@register(
+    "p14_domain_mix",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {h31_duck('doc_id::VARCHAR')}, doc_id) AS rk
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS mixed_chars
+    FROM ranked
+    WHERE rk <= CASE WHEN lang = 'en' THEN 120
+                     WHEN lang = 'zh' THEN 80
+                     ELSE 50 END
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("pipeline", "sampling"),
+)
+def p14_domain_mix(spark, sf_dir):
+    """Exact-quota domain mixing: fill a fixed per-language document quota
+    (the mixing-ratio recipe of a training run) with a deterministic,
+    hash-ordered first-N per stratum.
+
+    Ordering by the md5 draw makes the quota fill a uniform random — but
+    reproducible — subset; doc_id breaks hash ties so row_number is total.
+    Scale note: row_number partitioned by a 5-value stratum key funnels
+    each stratum through one task — fine for quotas that fit one machine
+    (they do: quota rows, not corpus rows, bound the output), but for
+    billion-row quotas switch to the p12 rate filter with rate =
+    quota/stratum_count estimated from a count — constant-space, no
+    per-stratum funnel.  The window input is pre-pruned to (lang, doc_id,
+    n_chars) so the funnel moves 3 columns, never the text.
+    """
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.expr(h31_spark("cast(doc_id as string)")), F.col("doc_id")
+        )
+    )
+    quota = F.expr(
+        "CASE WHEN lang = 'en' THEN 120 WHEN lang = 'zh' THEN 80 ELSE 50 END"
+    )
+    return (
+        docs.withColumn("rk", rk)
+        .filter(F.col("rk") <= quota)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("mixed_chars"))
+        .orderBy("lang")
+    )

@@ -52,6 +52,7 @@ def all_specs() -> dict[str, QuerySpec]:
     import sqlrs_spark.operators.statements  # noqa: F401
     import sqlrs_spark.operators.extensions  # noqa: F401
     import sqlrs_spark.operators.dedup  # noqa: F401
+    import sqlrs_spark.operators.sampling  # noqa: F401
     import sqlrs_spark.operators.temporal  # noqa: F401
     import sqlrs_spark.operators.similarity  # noqa: F401
     import sqlrs_spark.operators.text  # noqa: F401

@@ -218,3 +218,32 @@ def test_q34_argmin_single_aggregate_no_window(spark, sf_dir):
     assert "Window" not in s
     assert has_partial_agg(df)
     assert count_nodes(df, "Exchange") <= 2
+
+
+def test_p12_sampling_is_scan_local(spark, sf_dir):
+    # rate sampling must be a row-local filter: no Window, no Python eval,
+    # only the final agg/sort exchanges — the 100 TB path is one scan
+    df = SPECS["p12_stratified_sample"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "Window" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert count_nodes(df, "Exchange") <= 2
+    assert has_partial_agg(df)
+
+
+def test_p13_packing_single_window_pass(spark, sf_dir):
+    # offset-based packing: exactly one Window (the per-source running
+    # sum); integer div for pack ids; everything JVM-side
+    df = SPECS["p13_token_budget_pack"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert count_nodes(df, "Window") == 1
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_p14_quota_window_input_pruned(spark, sf_dir):
+    # quota fill: the per-stratum funnel must move only (lang, doc_id,
+    # n_chars) — the text column must not reach the window
+    df = SPECS["p14_domain_mix"].fn(spark, sf_dir)
+    assert count_nodes(df, "Window") == 1
+    for cols in read_schema_columns(df):
+        assert "text" not in cols, cols
