@@ -395,3 +395,54 @@ def x15_approx_sketches(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "x16_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week,
+           CAST(date_diff('day', cohort_week, act_week) // 7 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS active_users
+    FROM activity
+    JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("extension", "events", "join"),
+)
+def x16_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-active week, counted in each
+    subsequent week they return — the standard growth-analytics triangle.
+
+    Scale path: both the first-seen MIN and the per-week DISTINCT reduce
+    events to |users|-sized sets WITH partial aggregation before their
+    user_id shuffle, and the two shuffles share the user_id partitioning
+    so the self-join is co-located (AQE keeps it shuffle-free on the
+    reused exchange or broadcasts the firsts side — |users| ≪ |events|).
+    Week arithmetic is date-truncated integer day math, div 7 — exact,
+    timezone-pinned by the session, identical in both engines.
+    """
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            F.expr("div(datediff(act_week, cohort_week), 7)").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -14,8 +14,9 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from sqlrs_spark.functions.hashing import h31_duck, h31_spark
 from sqlrs_spark.registry import register
-from sqlrs_spark.sources.tables import TABLES, register_views
+from sqlrs_spark.sources.tables import TABLES, load_table, register_views
 
 
 @register(
@@ -250,4 +251,51 @@ def v09_partitioned_sink(spark, sf_dir):
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "v10_jsonl_roundtrip",
+    oracle=f"""
+    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS chars,
+           SUM({h31_duck('text')}) AS text_digest
+    FROM documents
+    WHERE lang IN ('fr', 'zh')
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    tags=("statement", "json", "source"),
+)
+def v10_jsonl_roundtrip(spark, sf_dir):
+    """JSONL sink → source round-trip over the documents table — the
+    interchange format real training corpora arrive in (one JSON object
+    per line, unicode text).
+
+    Writes a language slice to newline-delimited JSON, reads it back with
+    an explicit schema, and aggregates a content digest (md5-derived sum
+    over `text`): the oracle runs the same digest on the ORIGINAL rows, so
+    any text mangled in serialization (escapes, unicode, embedded
+    newlines) changes the sum and fails the hash gate.  Scale notes: the
+    write is partition-parallel (one shard file per task, no shuffle);
+    the read's explicit schema skips Spark's whole-data inference pass —
+    mandatory at 100 TB, where schema inference would double the scan;
+    text integrity rides the digest, not a row-by-row compare.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin("fr", "zh"))
+    )
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="sqlrs_jsonl_"), "docs")
+    docs.write.mode("overwrite").json(out_dir)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(out_dir)
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+            F.sum(F.expr(h31_spark("text"))).alias("text_digest"),
+        )
+        .orderBy("lang", "source")
     )

@@ -277,3 +277,54 @@ def s04_stream_dedup(spark, sf_dir):
     result = spark.createDataFrame(out.collect(), out.schema)
     spark.catalog.dropTempView(name)
     return result.orderBy("text_hash")
+
+
+@register(
+    "s05_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(value::DECIMAL(18,4)) AS DOUBLE) AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("streaming", "join"),
+)
+def s05_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join: the event stream joins a static
+    dimension (customer segment) micro-batch by micro-batch, then feeds a
+    running aggregation — the canonical streaming-ETL enrichment shape.
+
+    The static side is planned once and broadcast into every micro-batch
+    (no state is kept for it — stream-static inner joins are stateless in
+    Structured Streaming); only the downstream aggregation holds state,
+    keyed by (segment, type) — tiny and bounded.  At cluster scale the
+    dimension refreshes by re-resolving the table per batch (Delta/parquet
+    re-read), and the same plan serves a slowly-changing dimension.
+    Batch twin = the oracle SQL; decimal sums keep the incremental and
+    batch answers bit-identical.
+    """
+    from sqlrs_spark.operators.common import t as load_static
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_static(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = (
+        joined.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value_dec"),
+        )
+    )
+    out = run_to_completion(agg, "s05_stream_static_join")
+    return (
+        out.select(
+            "c_mktsegment",
+            "event_type",
+            "n",
+            F.col("total_value_dec").cast("double").alias("total_value"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )
