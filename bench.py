@@ -28,10 +28,20 @@ def main() -> None:
     # The 4 MiB floor matters at toy SFs: below a few MB per task the
     # per-task scheduling overhead dominates the scan itself (measured ~25%
     # of total bench wall at sf0.1 with a 1 MiB floor).
-    biggest = max(
-        (os.path.getsize(os.path.join(sf_dir, f)) for f in os.listdir(sf_dir)),
-        default=0,
-    )
+    def table_bytes(entry: str) -> int:
+        # a "table" is either a single parquet file or a directory of part
+        # files (the layout every real cluster dataset has) — getsize on a
+        # directory returns the dirent size, not the data size
+        path = os.path.join(sf_dir, entry)
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+            )
+        return os.path.getsize(path)
+
+    biggest = max((table_bytes(f) for f in os.listdir(sf_dir)), default=0)
     mpb = min(max(biggest // (2 * cpus), 4 << 20), 128 << 20)
     spark = build_spark(
         "sqlrs_spark_bench",
