@@ -116,3 +116,12 @@ def test_driver_embeddings_are_unstructured(duck, oracle_sf_dir):
     ).fetchall()
     cos = {bool(s): m for s, m in rows}
     assert abs(cos[True]) < 0.05 and abs(cos[False]) < 0.05, cos
+
+
+def test_multiprobe_recall_on_clustered(spark, clustered_dir, exact_sets):
+    # 9-probe (self + 8 single-flip) LSH must close most of single-probe's
+    # recall gap at ~9x query-side candidate cost (measured 0.82 vs 0.40)
+    r = _mean_recall(
+        _topk_sets(SPECS["p15_ann_multiprobe"].fn(spark, clustered_dir)), exact_sets
+    )
+    assert r >= 0.7, f"multi-probe LSH mean recall@5 {r:.2f} < 0.7 (measured 0.82)"
