@@ -183,3 +183,107 @@ def test_differential_having(engines, sql):
     spark, duck = engines
     ok, msg = compare(spark.sql(sql), duck, sql)
     assert ok, f"{msg}\nSQL: {sql}"
+
+
+@st.composite
+def window_query(draw):
+    # windows need a total order per partition or results are ambiguous:
+    # (l_orderkey, l_linenumber) is the table's primary key
+    func = draw(
+        st.sampled_from(
+            [
+                "ROW_NUMBER()",
+                "RANK()",
+                "DENSE_RANK()",
+                "SUM(l_linenumber)",
+                "COUNT(*)",
+                "MIN(l_linenumber)",
+                "LAG(l_linenumber, 1, 0)",
+                "LEAD(l_linenumber, 1, 0)",
+            ]
+        )
+    )
+    part = draw(st.sampled_from(["l_returnflag", "l_linestatus", "l_orderkey % 5"]))
+    where = draw(_where)
+    frame = (
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        if func.startswith(("SUM", "COUNT", "MIN"))
+        else ""
+    )
+    return (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"{func} OVER (PARTITION BY {part} "
+        f"ORDER BY l_orderkey, l_linenumber{frame}) AS w "
+        f"FROM lineitem {where} "
+        f"ORDER BY l_orderkey, l_linenumber LIMIT 200"
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=window_query())
+def test_differential_window(engines, sql):
+    # window functions are a beyond-reference extension (SURVEY §2.5 "none
+    # in reference") — fuzz rank/offset/framed-agg shapes over a total
+    # per-partition order so both engines are forced to one answer
+    spark, duck = engines
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"
+
+
+@st.composite
+def limit_offset_query(draw):
+    # limit/offset windowing is a reference operator with real edge cases
+    # (offset past end, limit 0 — src/executor/limit.rs:10-81); fuzz the
+    # boundary arithmetic against DuckDB over a total order
+    where = draw(_where)
+    limit = draw(st.sampled_from([0, 1, 7, 100, 10000]))
+    offset = draw(st.sampled_from([0, 1, 13, 5000, 100000]))
+    return (
+        f"SELECT l_orderkey, l_linenumber FROM lineitem {where} "
+        f"ORDER BY l_orderkey, l_linenumber LIMIT {limit} OFFSET {offset}"
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=limit_offset_query())
+def test_differential_limit_offset(engines, sql):
+    spark, duck = engines
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"
+
+
+@st.composite
+def scalar_subquery_query(draw):
+    # uncorrelated scalar subqueries are a reference v1 feature
+    # (src/binder/table/subquery.rs:99-167); fuzz them in WHERE and SELECT
+    agg = draw(st.sampled_from(["MIN(l_orderkey)", "MAX(l_linenumber)", "COUNT(*)"]))
+    inner_pred = draw(_pred)
+    where = draw(_where)
+    cmp = draw(st.sampled_from(["<", ">=", "<>"]))
+    return (
+        f"SELECT l_returnflag, COUNT(*) AS n, "
+        f"(SELECT {agg} FROM lineitem WHERE {inner_pred}) AS sub "
+        f"FROM lineitem {where} GROUP BY l_returnflag "
+        f"HAVING COUNT(*) {cmp} (SELECT {agg} FROM lineitem WHERE {inner_pred}) "
+        f"ORDER BY l_returnflag"
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=scalar_subquery_query())
+def test_differential_scalar_subquery(engines, sql):
+    spark, duck = engines
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"
