@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from sqlrs_spark.operators.common import as_double, dec2, t
 from sqlrs_spark.registry import register
+from sqlrs_spark.sources.tables import register_views
 
 
 @register(
@@ -445,4 +446,95 @@ def x16_retention_cohorts(spark, sf_dir):
         )
         .agg(F.count("*").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "x17_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+    """,
+    tags=("extension", "agg"),
+)
+def x17_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (detail + per-flag subtotal + grand total) —
+    the general form of x06's ROLLUP.
+
+    Spark expands grouping sets inside a single Expand+HashAggregate pair:
+    one pass over the fact, one shuffle, rows replicated per set only
+    AFTER the partial aggregate — at 100 TB the replication factor applies
+    to group cardinality, not input rows.  NULL is the subtotal marker in
+    both engines (the reference has no grouping sets at all — SURVEY
+    §2.4 "not in reference").
+    """
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+        """
+    )
+
+
+@register(
+    "x18_funnel",
+    oracle="""
+    WITH stage AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS viewed,
+           COUNT(CASE WHEN t_click > t_view THEN 1 END) AS clicked_after_view,
+           COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view
+                      THEN 1 END) AS purchased_after_click
+    FROM stage
+    """,
+    tags=("extension", "events"),
+)
+def x18_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase): stage
+    timestamps collapse to one MIN per user per stage, then the ordering
+    constraints count strictly-sequential conversions.
+
+    The conditional-MIN pivot means ONE shuffle on user_id and per-user
+    state of three timestamps — the standard trick that replaces per-user
+    event-sequence scans (self-joins or per-user sorts) with a partial-
+    aggregable fold; the final funnel counts are a 1-row aggregate.  NULL
+    stage times propagate correctly through the > comparisons (a user
+    with no view never counts as clicked_after_view — Kleene 3VL).
+    """
+    ev = t(spark, sf_dir, "events")
+    stage = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return stage.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "clicked_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("purchased_after_click"),
     )
