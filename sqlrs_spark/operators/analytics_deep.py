@@ -385,6 +385,7 @@ def q33_supplier_cnt(spark, sf_dir):
     ORDER BY p_partkey
     """,
     tags=("core", "join", "subquery"),
+    bench=True,
 )
 def q34_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 shape: for each (small) part, the supplier offering the

@@ -77,7 +77,22 @@ def _minhash_sig(spark_dialect: bool) -> str:
     return hs, f"[{perms}]"
 
 
-def _p02(spark_dialect: bool) -> str:
+def _cap_join(bucket_cap):
+    # degenerate-bucket guard: band buckets holding more than bucket_cap
+    # docs are boilerplate collapse (every member nearly identical) and
+    # would make the self-join quadratic; the standard mitigation is to
+    # drop them from candidate generation (dedup of boilerplate belongs to
+    # exact dedup / clustering, not pairwise LSH)
+    if bucket_cap is None:
+        return ""
+    return (
+        "  JOIN (SELECT band, band_key FROM bands "
+        f"GROUP BY band, band_key HAVING COUNT(*) <= {bucket_cap}) ok\n"
+        "    ON a.band = ok.band AND a.band_key = ok.band_key\n"
+    )
+
+
+def _p02(spark_dialect: bool, bucket_cap: int | None = None) -> str:
     hs, sig = _minhash_sig(spark_dialect)
     if spark_dialect:
         toks = "array_distinct(split(text, ' '))"
@@ -85,6 +100,7 @@ def _p02(spark_dialect: bool) -> str:
             "concat_ws(':', slice(sig, band * {r} + 1, {r}))".format(r=_ROWS_PER_BAND)
         )
         bands = f"explode(sequence(0, {_N_BANDS - 1}))"
+        cap_join = _cap_join(bucket_cap)
         inter = "size(array_intersect(a.toks, b.toks))"
         nsz = "size({s}.toks)"
         sql = f"""
@@ -102,7 +118,7 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
+{cap_join})
 SELECT c.doc_a, c.doc_b,
        {inter} / CAST({nsz.format(s='a')} + {nsz.format(s='b')} - {inter} AS DOUBLE) AS jaccard
 FROM cand c
@@ -118,6 +134,7 @@ ORDER BY doc_a, doc_b
     )
     inter = "len(list_intersect(a.toks, b.toks))"
     nsz = "len({s}.toks)"
+    cap_join = _cap_join(bucket_cap)
     return f"""
 WITH sigs AS (
   SELECT doc_id, {toks} AS toks, {sig} AS sig
@@ -131,7 +148,7 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
+{cap_join})
 SELECT c.doc_a, c.doc_b,
        {inter} / CAST({nsz.format(s='a')} + {nsz.format(s='b')} - {inter} AS DOUBLE) AS jaccard
 FROM cand c
@@ -522,3 +539,31 @@ def p11_corpus_pipeline(spark, sf_dir):
     """
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_p11(True))
+
+
+_BUCKET_CAP = 64
+
+
+@register(
+    "p16_dedup_minhash_capped",
+    oracle=_p02(False, _BUCKET_CAP),
+    tags=("pipeline", "dedup"),
+    bench=True,
+)
+def p16_dedup_minhash_capped(spark, sf_dir):
+    """p02's MinHash+LSH with the production guard: band buckets holding
+    more than 64 docs are dropped from candidate generation.
+
+    Oversized buckets are boilerplate collapse — every member is
+    near-identical to every other — and pairing them is quadratic: on the
+    synthetic corpus at sf0.1 (5k docs from a ~30-word vocabulary) the
+    uncapped p02 emits 936k verified pairs in ~29 s, almost all from a
+    handful of mega-buckets; capped, the same query is sub-second.  At
+    100 TB the cap is what makes LSH dedup runnable at all: candidate
+    count stays ~linear in corpus size, and the mass-duplicate groups the
+    cap skips are exactly the ones exact dedup (p01) and clustering (p09)
+    already handle by digest.  The cap is applied identically in the
+    DuckDB oracle, so parity covers the guard itself.
+    """
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_p02(True, _BUCKET_CAP))

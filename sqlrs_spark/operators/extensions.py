@@ -503,6 +503,7 @@ def x17_grouping_sets(spark, sf_dir):
     FROM stage
     """,
     tags=("extension", "events"),
+    bench=True,
 )
 def x18_funnel(spark, sf_dir):
     """Ordered conversion funnel (view → click → purchase): stage

@@ -90,6 +90,7 @@ def p12_stratified_sample(spark, sf_dir):
     ORDER BY source, pack_id
     """,
     tags=("pipeline", "sampling"),
+    bench=True,
 )
 def p13_token_budget_pack(spark, sf_dir):
     """Token-budget sequence packing: assign documents to fixed-budget

@@ -64,7 +64,7 @@ ORDER BY doc_id
 """
 
 
-@register("t01_token_count", oracle=_T01_DUCK, tags=("pipeline", "text"))
+@register("t01_token_count", oracle=_T01_DUCK, tags=("pipeline", "text"), bench=True)
 def t01_token_count(spark, sf_dir):
     """Token counting: whitespace tokens, BPE-ish regex tokens, chars/4
     estimate. Pure projection — codegen'd, no shuffle."""
