@@ -52,7 +52,7 @@ ORDER BY c.event_id
 """
 
 
-@register("x12_asof_join", oracle=_X12_ORACLE, tags=("extension", "temporal"))
+@register("x12_asof_join", oracle=_X12_ORACLE, tags=("extension", "temporal"), bench=True)
 def x12_asof_join(spark, sf_dir):
     """As-of join: for every click, the most recent view (ts <= click ts)
     by the same user — the DuckDB `ASOF JOIN` arbitrates correctness.
