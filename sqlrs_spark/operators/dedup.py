@@ -93,6 +93,12 @@ def _cap_join(bucket_cap):
 
 
 def _p02(spark_dialect: bool, bucket_cap: int | None = None) -> str:
+    # Shape notes (scale): the band self-join carries only (doc_id, band,
+    # band_key) — token arrays never ride the widest shuffle; they join in
+    # at verify time keyed by doc_id against the tiny candidate set.  The
+    # Spark side hints SHUFFLE_MERGE for the self-join so both sides (and
+    # the bucket-cap aggregate) shuffle identically on the band key — a
+    # broadcast there would recompute the md5 signature scan per side.
     hs, sig = _minhash_sig(spark_dialect)
     if spark_dialect:
         toks = "array_distinct(split(text, ' '))"
@@ -105,25 +111,27 @@ def _p02(spark_dialect: bool, bucket_cap: int | None = None) -> str:
         nsz = "size({s}.toks)"
         sql = f"""
 WITH sigs AS (
-  SELECT doc_id, toks, sig FROM (
-    SELECT doc_id, {toks} AS toks, sig
-    FROM (SELECT doc_id, text, {sig} AS sig FROM (SELECT doc_id, text, {hs} AS hs FROM documents) h)
-  )
+  SELECT doc_id, {sig} AS sig
+  FROM (SELECT doc_id, {hs} AS hs FROM documents) h
 ),
 bands AS (
-  SELECT doc_id, toks, band, {band_key} AS band_key
+  SELECT doc_id, band, {band_key} AS band_key
   FROM sigs LATERAL VIEW {bands} AS band
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  SELECT /*+ SHUFFLE_MERGE(a), SHUFFLE_MERGE(b) */
+         DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-{cap_join})
+{cap_join}),
+toks_t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+)
 SELECT c.doc_a, c.doc_b,
        {inter} / CAST({nsz.format(s='a')} + {nsz.format(s='b')} - {inter} AS DOUBLE) AS jaccard
 FROM cand c
-JOIN sigs a ON a.doc_id = c.doc_a
-JOIN sigs b ON b.doc_id = c.doc_b
+JOIN toks_t a ON a.doc_id = c.doc_a
+JOIN toks_t b ON b.doc_id = c.doc_b
 WHERE {inter} / CAST({nsz.format(s='a')} + {nsz.format(s='b')} - {inter} AS DOUBLE) >= {_JACCARD_T}
 ORDER BY doc_a, doc_b
 """
@@ -137,23 +145,26 @@ ORDER BY doc_a, doc_b
     cap_join = _cap_join(bucket_cap)
     return f"""
 WITH sigs AS (
-  SELECT doc_id, {toks} AS toks, {sig} AS sig
-  FROM (SELECT doc_id, text, {hs} AS hs FROM documents) h
+  SELECT doc_id, {sig} AS sig
+  FROM (SELECT doc_id, {hs} AS hs FROM documents) h
 ),
 bands AS (
-  SELECT doc_id, toks, band, {band_key} AS band_key
+  SELECT doc_id, band, {band_key} AS band_key
   FROM sigs, (SELECT unnest(range(0, {_N_BANDS})) AS band) bands
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-{cap_join})
+{cap_join}),
+toks_t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+)
 SELECT c.doc_a, c.doc_b,
        {inter} / CAST({nsz.format(s='a')} + {nsz.format(s='b')} - {inter} AS DOUBLE) AS jaccard
 FROM cand c
-JOIN sigs a ON a.doc_id = c.doc_a
-JOIN sigs b ON b.doc_id = c.doc_b
+JOIN toks_t a ON a.doc_id = c.doc_a
+JOIN toks_t b ON b.doc_id = c.doc_b
 WHERE {inter} / CAST({nsz.format(s='a')} + {nsz.format(s='b')} - {inter} AS DOUBLE) >= {_JACCARD_T}
 ORDER BY doc_a, doc_b
 """
