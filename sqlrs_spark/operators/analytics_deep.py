@@ -428,3 +428,118 @@ def q34_min_cost_supplier(spark, sf_dir):
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "q35_priority_shipping",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'N'
+      AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("core", "join"),
+)
+def q35_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape: per-category line counts split by order priority
+    (shipmode adapted to l_linestatus — no l_shipmode column).
+
+    Reference ops: hash join + hash agg with conditional counts (CASE is
+    the documented §2.8 extension).  Spark plan: returnflag + date range
+    push into the lineitem scan; one shuffle joins the two facts on
+    orderkey; the conditional counts partial-aggregate map-side into a
+    2-group result.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "N")
+        & (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q36_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    ),
+    per_order AS (
+      SELECT l_orderkey AS ok, COUNT(DISTINCT l_suppkey) AS n_supp
+      FROM lineitem GROUP BY 1
+    ),
+    late_per_order AS (
+      SELECT l_orderkey AS ok, COUNT(DISTINCT l_suppkey) AS n_late
+      FROM late GROUP BY 1
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late
+    JOIN per_order p ON p.ok = late.l_orderkey
+    JOIN late_per_order lpo ON lpo.ok = late.l_orderkey
+    JOIN supplier ON s_suppkey = late.l_suppkey
+    WHERE p.n_supp >= 2 AND lpo.n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("core", "join", "subquery"),
+)
+def q36_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier order (commit-date lateness adapted to shipdate >
+    orderdate + 60 days).
+
+    The reference-era EXISTS / NOT EXISTS pair is decorrelated into two
+    per-order aggregates — total distinct suppliers and late distinct
+    suppliers — joined back to the late lines; semantics are identical
+    (EXISTS other supplier ⇔ n_supp ≥ 2; NOT EXISTS other late supplier
+    ⇔ n_late = 1).  Spark plan: every join and both aggregates key on
+    l_orderkey, so the whole query runs in ONE shuffle partitioning
+    (AQE reuses it), supplier broadcasts, and the top-20 fuses to
+    TakeOrderedAndProject.  This is the classic rewrite that turns Q21
+    from the slowest TPC-H query into a linear pipeline.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = t(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    late_per_order = late.groupBy(F.col("l_orderkey").alias("lok")).agg(
+        F.countDistinct("l_suppkey").alias("n_late")
+    )
+    return (
+        late.join(per_order, F.col("ok") == F.col("l_orderkey"))
+        .join(late_per_order, F.col("lok") == F.col("l_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
