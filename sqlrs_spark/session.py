@@ -251,6 +251,34 @@ class Session:
             "table_name string, column_name string, column_type string, nullable boolean",
         ).filter(F.col("table_name") != "")
 
+    # -- function registry (reference §2.10 extension surface) ---------------
+
+    def create_function(self, name: str, fn, return_type: str = "string"):
+        """Register a row-at-a-time Python scalar function usable in SQL.
+
+        Mirrors the reference's internal ScalarFunction registry
+        (src/function/scalar/scalar_function.rs, registered via
+        src/function/mod.rs:45-56) as a user-facing API.  Row-at-a-time
+        Python is the SLOW path (ser/de per row, no codegen) — use it for
+        glue, not the hot path; prefer create_pandas_function for bulk
+        columns, or built-in expressions wherever one exists.
+        """
+        self.spark.udf.register(name, fn, return_type)
+
+    def create_pandas_function(self, name: str, fn, return_type: str = "string"):
+        """Register a vectorized (Arrow-batched) pandas scalar function.
+
+        ``fn`` maps pandas.Series -> pandas.Series.  This is the scale
+        path for Python logic Spark can't express: Arrow moves whole
+        column batches across the JVM/Python boundary (~10-100× the
+        row-at-a-time throughput), and the call sites stay inside the
+        same declarative plan (projection over a scan — pushdown and
+        pruning still apply around it).
+        """
+        from pyspark.sql.functions import pandas_udf
+
+        self.spark.udf.register(name, pandas_udf(fn, return_type))
+
     # -- SQL frontend ---------------------------------------------------------
 
     def sql(self, query: str) -> DataFrame:

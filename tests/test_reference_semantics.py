@@ -252,3 +252,35 @@ def test_explain_output_shape(spark):
     out = Session(spark).sql("explain select 1 + 1").collect()
     assert [r.type for r in out] == ["logical_plan", "logical_plan_opt", "physical_plan"]
     assert all(r.plan for r in out)
+
+
+class TestFunctionRegistry:
+    """Reference §2.10: the internal ScalarFunction registry surfaced as a
+    user API (scalar_function.rs / function/mod.rs:45-56)."""
+
+    def test_python_scalar_udf(self, spark, sf_dir):
+        from sqlrs_spark.session import Session
+
+        s = Session(spark)
+        s.create_function("rev_str", lambda x: x[::-1] if x is not None else None)
+        out = s.sql("SELECT rev_str('sqlrs') AS r").collect()
+        assert out[0]["r"] == "srlqs"
+        # NULL propagates like the reference's null-aware kernels
+        assert s.sql("SELECT rev_str(CAST(NULL AS STRING)) AS r").collect()[0]["r"] is None
+
+    def test_pandas_vectorized_udf(self, spark, sf_dir):
+        from sqlrs_spark.session import Session
+
+        s = Session(spark)
+
+        def double_plus_one(col):
+            return col * 2 + 1
+
+        s.create_pandas_function("dpo", double_plus_one, "long")
+        from sqlrs_spark.sources.tables import register_views
+
+        register_views(spark, sf_dir, ("nation",))
+        rows = s.sql(
+            "SELECT n_nationkey, dpo(n_nationkey) AS d FROM nation ORDER BY n_nationkey LIMIT 3"
+        ).collect()
+        assert [(r["n_nationkey"], r["d"]) for r in rows] == [(0, 1), (1, 3), (2, 5)]
