@@ -125,3 +125,49 @@ def test_bucketed_agg_join_pipeline_no_shuffle(spark, bucketed_tables):
         assert "Exchange" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """AQE skew-join must actually activate on a hot key.
+
+    Production thresholds (256 MiB) never trip on local test data, so this
+    lowers them to force the mechanism and asserts the executed plan shows
+    the skew=true marker on the sort-merge join — proving the config wired
+    in session.build_spark does what the 100 TB design relies on: a hot
+    join key is split across tasks at runtime instead of serializing one
+    straggler partition.
+    """
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # hot key: 80% of the fact rows share join key 0
+        fact = (
+            spark.range(0, 200_000)
+            .withColumn("k", F.when(F.col("id") % 5 < 4, F.lit(0)).otherwise(F.col("id")))
+            .withColumn("payload", F.concat(F.lit("x" * 32), F.col("id")))
+        )
+        dim = spark.range(0, 200_000).select(
+            F.col("id").alias("k2"), (F.col("id") * 2).alias("v")
+        )
+        joined = fact.join(dim, F.col("k") == F.col("k2")).groupBy().count()
+        joined.collect()  # materialize so AQE finalizes the plan
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                conf.set(k, v)
