@@ -578,3 +578,92 @@ def p16_dedup_minhash_capped(spark, sf_dir):
     """
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_p02(True, _BUCKET_CAP))
+
+
+# ---------------------------------------------------------------------------
+# p17 — cross-corpus decontamination (train vs eval)
+# ---------------------------------------------------------------------------
+
+_DECON_T = 0.8
+
+
+def _p17(spark_dialect: bool) -> str:
+    # eval set = source 'src0'; train = everything else.  A train doc is
+    # contaminated if its exact digest matches an eval doc OR a shared
+    # MinHash band key yields a verified token-Jaccard ≥ 0.8 candidate.
+    hs, sig = _minhash_sig(spark_dialect)
+    if spark_dialect:
+        toks = "array_distinct(split(text, ' '))"
+        band_key = (
+            "concat_ws(':', slice(sig, band * {r} + 1, {r}))".format(r=_ROWS_PER_BAND)
+        )
+        bands_src = f"LATERAL VIEW explode(sequence(0, {_N_BANDS - 1})) AS band"
+        inter = "size(array_intersect(t.toks, e.toks))"
+        nsz = "size({s}.toks)"
+    else:
+        toks = "list_distinct(string_split(text, ' '))"
+        band_key = "array_to_string(sig[band * {r} + 1 : band * {r} + {r}], ':')".format(
+            r=_ROWS_PER_BAND
+        )
+        bands_src = f", (SELECT unnest(range(0, {_N_BANDS})) AS band) bx"
+        inter = "len(list_intersect(t.toks, e.toks))"
+        nsz = "len({s}.toks)"
+    jac = f"{inter} / CAST({nsz.format(s='t')} + {nsz.format(s='e')} - {inter} AS DOUBLE)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, md5(text) AS digest, {toks} AS toks, {sig} AS sig
+  FROM (SELECT doc_id, source, text, {hs} AS hs FROM documents) h
+),
+bands AS (
+  SELECT doc_id, source, band, {band_key} AS band_key
+  FROM base {bands_src}
+),
+exact_hits AS (
+  SELECT DISTINCT t.doc_id
+  FROM base t JOIN base e ON t.digest = e.digest
+  WHERE t.source <> 'src0' AND e.source = 'src0'
+),
+near_hits AS (
+  SELECT DISTINCT t.doc_id
+  FROM (
+    SELECT DISTINCT tb.doc_id AS t_id, eb.doc_id AS e_id
+    FROM bands tb JOIN bands eb
+      ON tb.band = eb.band AND tb.band_key = eb.band_key
+    WHERE tb.source <> 'src0' AND eb.source = 'src0'
+  ) c
+  JOIN base t ON t.doc_id = c.t_id
+  JOIN base e ON e.doc_id = c.e_id
+  WHERE {jac} >= {_DECON_T}
+),
+contaminated AS (
+  SELECT doc_id FROM exact_hits UNION SELECT doc_id FROM near_hits
+)
+SELECT b.source,
+       COUNT(*) AS n_docs,
+       COUNT(c.doc_id) AS n_contaminated,
+       COUNT(*) - COUNT(c.doc_id) AS n_kept
+FROM base b
+LEFT JOIN contaminated c ON b.doc_id = c.doc_id
+WHERE b.source <> 'src0'
+GROUP BY b.source
+ORDER BY b.source
+"""
+
+
+@register("p17_decontaminate", oracle=_p17(False), tags=("pipeline", "dedup"))
+def p17_decontaminate(spark, sf_dir):
+    """Train-vs-eval decontamination: flag training documents that exactly
+    or nearly (token Jaccard ≥ 0.8 via shared MinHash band keys) match a
+    held-out eval set — the step every serious pretraining corpus runs so
+    benchmarks stay uncontaminated.
+
+    Scale shape: this is p02's machinery as a BIPARTITE join instead of a
+    self-join — band keys of the (small) eval side join the train side,
+    so candidates scale with eval size, not train²; the exact-digest pass
+    is an equi-join on md5.  Both hit sets union to a doc_id list that
+    anti-joins (here: LEFT JOIN + count) the corpus.  At 100 TB the eval
+    side's bands broadcast and the train side never shuffles its text —
+    only (doc_id, band_key) pairs.
+    """
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_p17(True))
