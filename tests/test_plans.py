@@ -247,3 +247,14 @@ def test_p14_quota_window_input_pruned(spark, sf_dir):
     assert count_nodes(df, "Window") == 1
     for cols in read_schema_columns(df):
         assert "text" not in cols, cols
+
+
+def test_p17_decontamination_bipartite_no_cartesian(spark, sf_dir):
+    # train×eval candidate generation must ride band-key equi-joins and the
+    # digest equi-join — a cartesian between the corpora would be train×eval
+    # row products at scale
+    df = SPECS["p17_decontaminate"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert has_partial_agg(df)
