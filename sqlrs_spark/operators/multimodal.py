@@ -250,3 +250,75 @@ def m03_fake_embed(spark, sf_dir):
     oracle recomputes each dimension from the text with the same md5
     derivation, value-checking the whole Arrow array round-trip."""
     return fake_embed(binarize_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, new_width int, new_height int"
+)
+
+_RESIZE_BOX = 256
+
+_M04_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST((('0x'||substr(md5(text),1,15))::BIGINT % 1920) + 1 AS INT) AS width,
+         CAST((('0x'||substr(md5(text),1,15))::BIGINT % 1080) + 1 AS INT) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(greatest(1, (width  * {_RESIZE_BOX}) // greatest(width, height)) AS INT)
+         AS new_width,
+       CAST(greatest(1, (height * {_RESIZE_BOX}) // greatest(width, height)) AS INT)
+         AS new_height
+FROM dims
+ORDER BY doc_id
+"""
+
+
+@register("m04_resize", oracle=_M04_ORACLE, tags=("pipeline", "multimodal"))
+def m04_resize(spark, sf_dir):
+    """Aspect-preserving resize planning over binary payloads: decode
+    dimensions (stubbed — fake_decode_dims), fit to a 256-pixel box with
+    integer arithmetic, emit old+new dims per document.
+
+    The Spark-side plumbing is the production shape for bulk image
+    preprocessing: mapInPandas over the binary column, Arrow batches
+    in/out, per-partition Python with NO shuffle — a real build swaps the
+    dim stub for PIL decode + actual pixel resampling writing a new
+    binary column, and the plan is unchanged.  The fit arithmetic is
+    integer-exact ((d*box) div max-dim, floor, min 1) so the DuckDB
+    oracle reproduces it bit-for-bit from the text payload.
+    """
+    binary_df = binarize_documents(spark, sf_dir)
+
+    # self-contained closure — executors may lack the repo on PYTHONPATH
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        box = 256
+
+        def _dims(payload: bytes) -> tuple[int, int]:
+            h = int(_hashlib.md5(payload).hexdigest()[:15], 16)
+            return (h % 1920) + 1, (h % 1080) + 1
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = [_dims(bytes(b)) for b in payloads]
+            long_side = [max(w, h) for w, h in dims]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "new_width": [
+                        max(1, (w * box) // ls) for (w, _), ls in zip(dims, long_side)
+                    ],
+                    "new_height": [
+                        max(1, (h * box) // ls) for (_, h), ls in zip(dims, long_side)
+                    ],
+                }
+            )
+
+    return binary_df.mapInPandas(op, schema=RESIZE_SCHEMA).orderBy("doc_id")
