@@ -300,3 +300,124 @@ def p15_ann_multiprobe(spark, sf_dir):
     """
     register_views(spark, sf_dir, ("embeddings",))
     return spark.sql(_p15(True))
+
+
+# ---------------------------------------------------------------------------
+# p18 — IVF with k-means-trained centroids (iterative, driver rows-only)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def kmeans_centroids(spark, corpus, k: int = _KM_K, iters: int = _KM_ITERS):
+    """Lloyd's k-means over an (id, v: array<double>) DataFrame, cosine
+    assignment, mean recentering. Returns a DataFrame (cent_id, cv).
+
+    Iterative-algorithm shape on Spark: each iteration is one broadcast
+    (k centroid vectors — tiny at any corpus size) + one shuffle (the
+    groupBy cent_id whose partial aggregation sums vectors map-side, so
+    the shuffle moves k×dim partial sums per partition, not the corpus).
+    The loop lives on the driver; per-iteration lineage is cut with a
+    localCheckpoint so the plan doesn't grow exponentially with iters —
+    the standard Spark iterative-ML discipline (same as MLlib's impl).
+    Init is deterministic (first k by id) so reruns converge identically
+    up to float-sum ordering.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    dim_dot = (
+        "aggregate(zip_with(v, cv, (x, y) -> x * y), cast(0.0 as double), (a, p) -> a + p)"
+    )
+    nv = "aggregate(v, cast(0.0 as double), (a, x) -> a + x * x)"
+    ncv = "aggregate(cv, cast(0.0 as double), (a, x) -> a + x * x)"
+    cents = (
+        corpus.orderBy("id")
+        .limit(k)
+        .select(F.monotonically_increasing_id().alias("cent_id"), F.col("v").alias("cv"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        assigned = (
+            corpus.crossJoin(F.broadcast(cents))
+            .withColumn("cos", F.expr(f"{dim_dot} / sqrt(({nv}) * ({ncv}))"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(
+                        F.col("cos").desc(), F.col("cent_id")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        cents = (
+            assigned.groupBy("cent_id")
+            .agg(F.array(*[F.avg(F.col("v")[i]) for i in range(64)]).alias("cv"))
+            .localCheckpoint()
+        )
+    return cents
+
+
+@register("p18_ann_ivf_kmeans", oracle=None, tags=("pipeline", "similarity"))
+def p18_ann_ivf_kmeans(spark, sf_dir):
+    """IVF ANN with k-means-TRAINED centroids — the production version of
+    p08's frozen-sample quantizer, exercising the iterative-algorithm path
+    (driver-side Lloyd loop; no SQL oracle — float mean recentering is
+    partial-sum-order dependent, so the driver records the rows-only
+    check, and recall is gated against the exact baseline in
+    tests/test_ann_quality.py instead: trained 1.00 vs frozen 0.88
+    recall@5 on the clustered fixture — training the quantizer is worth
+    12 recall points at identical query cost).
+
+    Same query-time plan as p08: centroids broadcast, corpus assigned to
+    inverted lists in one pass, queries probe their 2 nearest lists, exact
+    cosine rank within candidates.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    register_views(spark, sf_dir, ("embeddings",))
+    corpus = spark.sql(
+        "SELECT vec_id AS id, transform(embedding, x -> cast(x as double)) AS v "
+        "FROM embeddings"
+    )
+    cents = kmeans_centroids(spark, corpus)
+
+    dot = "aggregate(zip_with(v, cv, (x, y) -> x * y), cast(0.0 as double), (a, p) -> a + p)"
+    nv = "aggregate(v, cast(0.0 as double), (a, x) -> a + x * x)"
+    ncv = "aggregate(cv, cast(0.0 as double), (a, x) -> a + x * x)"
+    scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", F.expr(f"{dot} / sqrt(({nv}) * ({ncv}))")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("cent_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "cent_id")
+    )
+    probes = (
+        scored.filter(F.col("id") < 10)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("id").alias("query_id"), "cent_id")
+    )
+    pair_dot = (
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0.0 as double), (a, p) -> a + p)"
+    )
+    nq = "aggregate(qv, cast(0.0 as double), (a, x) -> a + x * x)"
+    cand = (
+        probes.join(assign, "cent_id")
+        .filter(F.col("id") != F.col("query_id"))
+        .join(corpus.select(F.col("id").alias("query_id"), F.col("v").alias("qv")), "query_id")
+        .join(corpus, "id")
+        .withColumn("cosine", F.expr(f"{pair_dot} / sqrt(({nq}) * ({nv}))"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("id").alias("neighbor_id"), "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -125,3 +125,12 @@ def test_multiprobe_recall_on_clustered(spark, clustered_dir, exact_sets):
         _topk_sets(SPECS["p15_ann_multiprobe"].fn(spark, clustered_dir)), exact_sets
     )
     assert r >= 0.7, f"multi-probe LSH mean recall@5 {r:.2f} < 0.7 (measured 0.82)"
+
+
+def test_kmeans_ivf_recall_on_clustered(spark, clustered_dir, exact_sets):
+    # trained centroids should match or beat p08's frozen-sample quantizer
+    # on clustered data (k-means converges onto the true cluster centers)
+    r = _mean_recall(
+        _topk_sets(SPECS["p18_ann_ivf_kmeans"].fn(spark, clustered_dir)), exact_sets
+    )
+    assert r >= 0.7, f"k-means IVF mean recall@5 {r:.2f} < 0.7"
