@@ -543,3 +543,108 @@ def q36_waiting_suppliers(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )
+
+
+@register(
+    "q37_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24.0
+    """,
+    tags=("core",),
+)
+def q37_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 verbatim shape: forecast-revenue-change — a pure
+    scan→filter→global-aggregate with a BETWEEN band on discount.
+
+    Reference ops: filter (src/executor/filter.rs), SimpleAgg
+    (simple_agg.rs); BETWEEN is a documented §2.8 extension.  Spark plan:
+    every predicate pushes into the parquet scan (PushedFilters), the
+    aggregate is a map-side partial + 1-row final — the cheapest possible
+    TPC-H query and the canonical scan-throughput probe at 100 TB.
+    Discount comparisons run on the raw double column (synthetic
+    discounts are exact hundredths, representable in binary? no — 0.04
+    is not exact in binary, but BOTH engines compare the same stored
+    double against the same literal, so membership is identical).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.04, 0.06)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            as_double(F.sum(dec2("l_extendedprice") * dec2("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q38_excess_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, SUM(l_quantity::DECIMAL(18,2)) AS qty
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(l_quantity::DECIMAL(18,2)) > 40.0
+    ),
+    per_supp AS (
+      SELECT l_suppkey, COUNT(*) AS n_excess_parts FROM shipped GROUP BY l_suppkey
+    )
+    SELECT s_name, n_name, n_excess_parts
+    FROM per_supp
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY s_name
+    """,
+    tags=("core", "join", "subquery"),
+)
+def q38_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers with excess volume of a part family
+    (partsupp availqty adapted to shipped-quantity-per-(supplier, part)
+    over a year, threshold 40; Q20's IN-subquery semi join is expressed
+    as the agg-derived pair set rolled up per supplier — identical
+    membership, and it also yields the per-supplier excess-part count).
+
+    Reference ops: semi join via agg-derived table with HAVING
+    (src/binder/table/subquery.rs derived tables + §2.4 aggregates).
+    Spark plan: part-name filter broadcasts into the lineitem scan; the
+    pair agg shuffles once on (suppkey, partkey); the supplier dim
+    broadcasts into the final per-supplier rollup.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec2("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > F.lit("40.0").cast("decimal(18,2)"))
+    )
+    return (
+        shipped.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_excess_parts"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "n_excess_parts")
+        .orderBy("s_name")
+    )
