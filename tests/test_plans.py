@@ -258,3 +258,13 @@ def test_p17_decontamination_bipartite_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert has_partial_agg(df)
+
+
+def test_q36_single_key_pipeline(spark, sf_dir):
+    # Q21 decorrelation: both aggregates and every fact join key on
+    # l_orderkey; supplier broadcasts; top-20 fuses to TakeOrderedAndProject
+    df = SPECS["q36_waiting_suppliers"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "CartesianProduct" not in s
+    assert "TakeOrderedAndProject" in s
+    assert has_partial_agg(df)
