@@ -55,6 +55,7 @@ def all_specs() -> dict[str, QuerySpec]:
     import sqlrs_spark.operators.sampling  # noqa: F401
     import sqlrs_spark.operators.temporal  # noqa: F401
     import sqlrs_spark.operators.similarity  # noqa: F401
+    import sqlrs_spark.operators.rag  # noqa: F401
     import sqlrs_spark.operators.text  # noqa: F401
     import sqlrs_spark.operators.multimodal  # noqa: F401
     import sqlrs_spark.streaming.ops  # noqa: F401
