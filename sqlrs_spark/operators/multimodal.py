@@ -94,11 +94,14 @@ def extract_meta(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(op, schema=META_SCHEMA)
 
 
+# magic must be the first 4 BYTES of the payload (8 hex chars) — substr on
+# TEXT would take 4 CHARACTERS, which diverges on multi-byte UTF-8 (caught
+# by the unicode-adversarial corpus in tests/test_unicode_robustness.py)
 _M01_ORACLE = """
 SELECT doc_id,
        'txt'                                        AS format,
        strlen(text)                                 AS byte_len,
-       lower(hex(substr(text, 1, 4)))               AS magic,
+       lower(substr(hex(encode(text)), 1, 8))       AS magic,
        CAST((('0x'||substr(md5(text),1,15))::BIGINT % 1920) + 1 AS INT) AS width,
        CAST((('0x'||substr(md5(text),1,15))::BIGINT % 1080) + 1 AS INT) AS height
 FROM documents

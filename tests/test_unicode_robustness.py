@@ -1,0 +1,98 @@
+"""Unicode / whitespace-adversarial robustness for the text pipeline.
+
+The driver's synthetic documents are single-space-separated ASCII, so the
+oracle-parity suite never exercises the places where Spark and DuckDB
+string semantics can diverge: multi-byte UTF-8 (char-vs-byte confusion),
+empty strings, multi-space runs, leading/trailing separators, CJK without
+spaces, emoji, combining accents, embedded tabs, quotes and backslashes.
+
+Every text/dedup/sampling/multimodal operator with an oracle must
+hash-match DuckDB on this corpus too. This already caught one real bug:
+m01's `magic` oracle used substr on TEXT (4 characters), while the Spark
+side takes 4 payload BYTES — identical on ASCII, divergent on CJK.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sqlrs_spark.registry import all_specs
+from tests.oracle import compare
+
+SPECS = all_specs()
+
+DOCS = [
+    (0, "hello world the end", "en", "src1"),
+    (1, "", "en", "src1"),                          # empty text
+    (2, "a  b   c", "en", "src1"),                  # multi-space runs
+    (3, "café naïve résumé éclair", "fr", "src1"),  # accents
+    (4, "你好世界 测试", "zh", "src2"),              # CJK, multi-byte
+    (5, "emoji \U0001F600 \U0001F680 test", "en", "src2"),
+    (6, "tab\there newline", "en", "src2"),
+    (7, "quote \"double\" 'single' back\\slash", "en", "src2"),
+    (8, " leading and trailing ", "en", "src3"),
+    (9, "hello world the end", "en", "src3"),       # exact dup of doc 0
+]
+
+OPS = [
+    "t01_token_count",
+    "t02_language_id",
+    "t03_quality_score",
+    "t04_fingerprint",
+    "t05_chunking",
+    "t06_repetition",
+    "t07_pattern_scrub",
+    "p01_dedup_exact",
+    "p04_dedup_ngram",
+    "p12_stratified_sample",
+    "p13_token_budget_pack",
+    "p14_domain_mix",
+    "p16_dedup_minhash_capped",
+    "p19_rag_prep",
+    "m01_multimodal_meta",
+    "m04_resize",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("unicode_docs"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in DOCS], pa.int64()),
+                "text": pa.array([r[1] for r in DOCS]),
+                "lang": pa.array([r[2] for r in DOCS]),
+                "source": pa.array([r[3] for r in DOCS]),
+                "n_chars": pa.array([len(r[1]) for r in DOCS], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def unicode_duck(duck, unicode_dir, sf_dir):
+    duck.execute(
+        f"CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM '{unicode_dir}/documents.parquet'"
+    )
+    yield duck
+    # restore the shared connection's view so test-order changes can't
+    # leak the adversarial corpus into other modules
+    duck.execute(
+        f"CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+
+
+@pytest.mark.parametrize("name", OPS)
+def test_op_matches_oracle_on_adversarial_text(spark, unicode_dir, unicode_duck, name):
+    spec = SPECS[name]
+    ok, msg = compare(spec.fn(spark, unicode_dir), unicode_duck, spec.oracle)
+    assert ok, f"{name}: {msg}"
