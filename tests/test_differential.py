@@ -287,3 +287,32 @@ def test_differential_scalar_subquery(engines, sql):
     spark, duck = engines
     ok, msg = compare(spark.sql(sql), duck, sql)
     assert ok, f"{msg}\nSQL: {sql}"
+
+
+@st.composite
+def date_arith_query(draw):
+    # date ± interval is a reference v2 feature (tests/slt/time.slt,
+    # arithmetic_function.rs:73-126); fuzz both interval classes and
+    # comparison directions over the orders timestamps
+    n = draw(st.integers(1, 36))
+    unit = draw(st.sampled_from(["DAY", "MONTH", "YEAR", "HOUR"]))
+    sign = draw(st.sampled_from(["+", "-"]))
+    cmp = draw(st.sampled_from(["<", ">="]))
+    return (
+        f"SELECT o_orderkey, CAST(o_orderdate {sign} INTERVAL {n} {unit} AS DATE) AS d "
+        f"FROM orders "
+        f"WHERE o_orderdate {sign} INTERVAL {n} {unit} {cmp} TIMESTAMP '1996-06-15 00:00:00' "
+        f"ORDER BY o_orderkey LIMIT 100"
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=date_arith_query())
+def test_differential_date_arith(engines_join, sql):
+    spark, duck = engines_join
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"
