@@ -134,7 +134,9 @@ def s02_stream_stateful_sessions(spark, sf_dir):
             state.get if state.exists else (None, 0, 0)
         )
         rows = pd.concat(list(batches))
-        for ts in sorted(rows["ts"].astype("int64") // 1_000_000):
+        # datetime64[ns] int64 is NANOseconds — divide by 1e9 for seconds
+        # (// 1e6 would give millis and turn the 30-min gap into 1.8s)
+        for ts in sorted(rows["ts"].astype("int64") // 1_000_000_000):
             if last_ts is None or ts - last_ts > 1800:
                 n_sessions += 1
             n_events += 1
@@ -328,3 +330,79 @@ def s05_stream_static_join(spark, sf_dir):
         )
         .orderBy("c_mktsegment", "event_type")
     )
+
+
+@register(
+    "s06_stream_funnel",
+    oracle="""
+    WITH stage AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'     THEN ts END) AS tv,
+             MIN(CASE WHEN event_type = 'click'    THEN ts END) AS tc,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           tv IS NOT NULL                        AS viewed,
+           COALESCE(tc > tv, FALSE)              AS clicked_after_view,
+           COALESCE(tp > tc AND tc > tv, FALSE)  AS purchased_after_click
+    FROM stage
+    ORDER BY user_id
+    """,
+    tags=("pipeline", "streaming", "stateful"),
+)
+def s06_stream_funnel(spark, sf_dir):
+    """Stateful streaming funnel: per-user stage minima (view → click →
+    purchase) held in GroupState, strict-order conversion flags emitted on
+    every update — the streaming twin of x18's batch funnel.
+
+    This is the chained-stateful shape Structured Streaming's append-mode
+    aggregation restriction forbids as two groupBys: applyInPandasWithState
+    takes the place of the first aggregation (per-user fold with explicit
+    state), emits update-mode rows, and any downstream rollup operates on
+    the (bounded-cardinality) per-user output.  State is three BIGINT
+    micros per user — O(users), watermark-free.  Over the bounded
+    availableNow run the emission per user is deterministic, so unlike s02
+    this carries a full value oracle, not just a rows-only check.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+    out_schema = (
+        "user_id bigint, viewed boolean, clicked_after_view boolean, "
+        "purchased_after_click boolean"
+    )
+    state_schema = "tv bigint, tc bigint, tp bigint"
+    stages = {"view": 0, "click": 1, "purchase": 2}
+
+    def funnel(key, batches, state: GroupState):
+        mins = list(state.get) if state.exists else [None, None, None]
+        for pdf in batches:
+            ts_us = pdf["ts"].astype("int64") // 1_000
+            for et, t in zip(pdf["event_type"], ts_us):
+                i = stages.get(et)
+                if i is not None and (mins[i] is None or t < mins[i]):
+                    mins[i] = int(t)
+        state.update(tuple(mins))
+        tv, tc, tp = mins
+        viewed = tv is not None
+        cav = viewed and tc is not None and tc > tv
+        pac = cav and tp is not None and tp > tc
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "viewed": [viewed],
+                "clicked_after_view": [cav],
+                "purchased_after_click": [pac],
+            }
+        )
+
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        funnel,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_completion_update(result, "s06").orderBy("user_id")

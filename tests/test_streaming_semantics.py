@@ -109,3 +109,27 @@ def test_watermark_drops_late_event_across_batches(spark):
     assert rows.get(("10:00", "a")) == 3, rows
     assert sum(n for (ws, k), n in rows.items() if k == "a") == 3, rows
     assert dropped == 1, q.recentProgress
+
+
+def test_s02_stream_sessions_match_batch_twin(spark, sf_dir):
+    """s02 has no SQL oracle (custom stateful op), so its semantics are
+    pinned against the batch twin instead: total session count from the
+    streaming GroupState fold must equal x10's window-based batch
+    sessionization for the same 30-minute gap. This exact check caught a
+    real unit bug (datetime64[ns] // 1e6 is millis, which silently turned
+    the 30-minute gap into 1.8 seconds)."""
+    from pyspark.sql import functions as F
+
+    from sqlrs_spark.registry import all_specs
+
+    S = all_specs()
+    stream_total = (
+        S["s02_stream_stateful_sessions"]
+        .fn(spark, sf_dir)
+        .agg(F.sum("n_sessions"))
+        .collect()[0][0]
+    )
+    batch_total = (
+        S["x10_sessionization"].fn(spark, sf_dir).select("user_id", "session_id").distinct().count()
+    )
+    assert stream_total == batch_total, (stream_total, batch_total)
