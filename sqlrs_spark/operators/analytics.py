@@ -99,9 +99,13 @@ def q22_volume_shipping(spark, sf_dir):
         .select("c_custkey", "cust_nation")
     )
     return (
-        li.join(F.broadcast(supp2), F.col("s_suppkey") == F.col("l_suppkey"))
+        # supp2/cust2 derive from SF-scaling tables: no forced broadcast
+        # hint (a hint overrides AQE's size check and would OOM executors
+        # at the 100 TB target); AQE/stats still picks broadcast at small
+        # SF because the 2-nation filter shrinks both sides.
+        li.join(supp2, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
-            orders.join(F.broadcast(cust2), F.col("c_custkey") == F.col("o_custkey")),
+            orders.join(cust2, F.col("c_custkey") == F.col("o_custkey")),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .filter(
@@ -150,8 +154,10 @@ def q23_market_share(spark, sf_dir):
     The p_type national-market filter is adapted to p_size (synthetic part
     table, TESTDATA.md).  Reference ops: left-deep join chain
     (src/planner/select.rs:51-80) + hash agg; CASE is an extension (SURVEY
-    §2.8 "not in reference").  Spark plan: part/customer/supplier/nation/
-    region all broadcast into the lineitem scan stage; one shuffle for
+    §2.8 "not in reference").  Spark plan: nation/region carry explicit
+    broadcast hints (fixed 25/5 rows); part/customer/supplier are left to
+    AQE's stats-based choice — broadcast at small SF, shuffle join at the
+    100 TB target where they no longer fit.  One shuffle for
     lineitem⋈orders, one for the 1-key agg.  The conditional sum is a
     map-side partial aggregate — no second pass.
     """
@@ -171,12 +177,16 @@ def q23_market_share(spark, sf_dir):
     n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
     zero = F.lit("0").cast("decimal(18,2)")
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        # part/customer/supplier scale with SF — hints stay off so AQE's
+        # size check decides (it broadcasts them at small SF; at 100 TB it
+        # falls back to shuffle joins instead of OOMing an executor).
+        # nation/region are fixed 25/5 rows: hints are safe at any scale.
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -221,7 +231,7 @@ def q24_promo_effect(spark, sf_dir):
     part = t(spark, sf_dir, "part")
     zero = F.lit("0").cast("decimal(18,2)")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             as_double(
                 F.sum(F.when(F.col("p_brand") == "Brand#1", _rev()).otherwise(zero))
@@ -270,7 +280,7 @@ def q25_large_orders(spark, sf_dir):
     )
     return (
         orders.join(qty, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name",
             "o_orderkey",

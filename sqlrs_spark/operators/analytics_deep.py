@@ -108,11 +108,12 @@ def q28_nation_profit(spark, sf_dir):
     Reference ops: left-deep multi-join (src/planner/select.rs:51-80),
     hash agg; LIKE is a documented extension (SURVEY §2.8 "not in
     reference").  Spark plan: the p_name filter shrinks part BEFORE the
-    broadcast, so the lineitem scan stage probes a small hash table and
-    drops ~90% of rows pre-shuffle; supplier+nation also broadcast into
-    the same stage.  The single wide shuffle is lineitem⋈orders on
-    orderkey, then a 2-key agg.  Profit stays DECIMAL end-to-end —
-    partial-agg order cannot perturb the result.
+    join, and AQE's stats broadcast the filtered part/supplier while they
+    fit (no forced hints — both scale with SF, and a pinned broadcast
+    would OOM at the 100 TB target); nation keeps its hint (fixed 25
+    rows).  The single wide shuffle is lineitem⋈orders on orderkey, then
+    a 2-key agg.  Profit stays DECIMAL end-to-end — partial-agg order
+    cannot perturb the result.
     """
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
@@ -121,8 +122,8 @@ def q28_nation_profit(spark, sf_dir):
     nation = t(spark, sf_dir, "nation")
     amount = _rev() - dec2("p_retailprice") * dec2("l_quantity")
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
@@ -263,7 +264,7 @@ def q31_top_supplier(spark, sf_dir):
     return (
         revenue.join(F.broadcast(max_rev))
         .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(supp, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", as_double(F.col("total_rev")).alias("total_revenue"))
         .orderBy("s_suppkey")
     )
@@ -309,7 +310,7 @@ def q32_small_qty_revenue(spark, sf_dir):
         F.sum(dec2("l_quantity")).alias("sq"), F.count("*").alias("cnt")
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(pa, F.col("pk") == F.col("l_partkey"))
         .filter(dec2("l_quantity") * 5 * F.col("cnt") < F.col("sq"))
         .agg(
@@ -341,7 +342,9 @@ def q33_supplier_cnt(spark, sf_dir):
     Reference ops: count(distinct) (src/executor/aggregate/count.rs:31-58),
     anti join extension (SURVEY §2.3), IN-list and <> filters.  Spark
     plan: part (IN-list + <> pushed to scan) and the negative supplier
-    list both broadcast — the anti join never shuffles the fact; the
+    list are both heavily filtered, so AQE broadcasts them at any
+    realistic SF without a forced hint — the anti join never shuffles
+    the fact; the
     count-distinct agg shuffles once on (brand, size) with partial
     distinct aggregation map-side.  s_suppkey is non-null so NOT IN ≡
     left_anti (the NULL-poisoning NOT IN edge case doesn't arise; with a
@@ -355,8 +358,8 @@ def q33_supplier_cnt(spark, sf_dir):
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(bad_supp), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(bad_supp, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand"), F.col("p_size"))
@@ -397,15 +400,16 @@ def q34_min_cost_supplier(spark, sf_dir):
     plan: ONE shuffle total — min(struct(price, suppkey)) is a partial-
     aggregable lexicographic argmin, so the agg+join-back+re-agg of the
     SQL formulation collapses to a single groupBy (same trick as
-    p10_dedup_canonical); part (p_size pushed) and supplier broadcast.
-    The struct min compares DECIMAL then BIGINT — exact, deterministic.
+    p10_dedup_canonical); part (p_size pushed) and supplier are AQE's
+    call — no forced hints on SF-scaling tables.  The struct min compares
+    DECIMAL then BIGINT — exact, deterministic.
     """
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     supp = t(spark, sf_dir, "supplier")
     best = (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_name")),
+            part.select("p_partkey", "p_name"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy("p_partkey", "p_name")
@@ -419,7 +423,7 @@ def q34_min_cost_supplier(spark, sf_dir):
         )
     )
     return (
-        best.join(F.broadcast(supp), F.col("s_suppkey") == F.col("m.sk"))
+        best.join(supp, F.col("s_suppkey") == F.col("m.sk"))
         .select(
             "p_partkey",
             "p_name",
@@ -515,7 +519,8 @@ def q36_waiting_suppliers(spark, sf_dir):
     (EXISTS other supplier ⇔ n_supp ≥ 2; NOT EXISTS other late supplier
     ⇔ n_late = 1).  Spark plan: every join and both aggregates key on
     l_orderkey, so the whole query runs in ONE shuffle partitioning
-    (AQE reuses it), supplier broadcasts, and the top-20 fuses to
+    (AQE reuses it), supplier's join is AQE stats-chosen (broadcast
+    while it fits), and the top-20 fuses to
     TakeOrderedAndProject.  This is the classic rewrite that turns Q21
     from the slowest TPC-H query into a linear pipeline.
     """
@@ -537,7 +542,7 @@ def q36_waiting_suppliers(spark, sf_dir):
         late.join(per_order, F.col("ok") == F.col("l_orderkey"))
         .join(late_per_order, F.col("lok") == F.col("l_orderkey"))
         .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
@@ -623,9 +628,10 @@ def q38_excess_suppliers(spark, sf_dir):
 
     Reference ops: semi join via agg-derived table with HAVING
     (src/binder/table/subquery.rs derived tables + §2.4 aggregates).
-    Spark plan: part-name filter broadcasts into the lineitem scan; the
-    pair agg shuffles once on (suppkey, partkey); the supplier dim
-    broadcasts into the final per-supplier rollup.
+    Spark plan: the filtered part key list and supplier join are AQE
+    stats-chosen (broadcast while small, shuffle at 100 TB — no forced
+    hints on SF-scaling tables); the pair agg shuffles once on
+    (suppkey, partkey); nation keeps its fixed-25-row hint.
     """
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
@@ -635,7 +641,7 @@ def q38_excess_suppliers(spark, sf_dir):
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
     shipped = (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part.select("p_partkey"), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(dec2("l_quantity")).alias("qty"))
         .filter(F.col("qty") > F.lit("40.0").cast("decimal(18,2)"))
@@ -643,7 +649,7 @@ def q38_excess_suppliers(spark, sf_dir):
     return (
         shipped.groupBy("l_suppkey")
         .agg(F.count("*").alias("n_excess_parts"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name", "n_excess_parts")
         .orderBy("s_name")

@@ -264,9 +264,11 @@ def q03_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: 3-way equi join → agg → top-k.
 
     Reference: hash join (src/executor/join/hash_join.rs:16-323), left-deep
-    multi-join planning (src/planner/select.rs:51-80). Spark: customer side
-    is the small dimension → broadcast hint; orders⋈lineitem shuffles on
-    orderkey; ORDER+LIMIT fuses to TakeOrderedAndProject (SURVEY §2.6).
+    multi-join planning (src/planner/select.rs:51-80). Spark: customer
+    scales with SF, so no forced broadcast hint — AQE's stats pick
+    broadcast at small SF and a shuffle join once customer outgrows the
+    threshold; orders⋈lineitem shuffles on orderkey; ORDER+LIMIT fuses to
+    TakeOrderedAndProject (SURVEY §2.6).
     """
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(
@@ -280,7 +282,7 @@ def q03_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(as_double(F.sum(revenue)).alias("revenue"))
         .select(
@@ -316,8 +318,10 @@ def q03_shipping_priority(spark, sf_dir):
 def q05_local_volume(spark, sf_dir):
     """TPC-H Q5 shape: 6-way join with a two-column equi condition.
 
-    Broadcast the dimension chain (region⋈nation⋈supplier is tiny at TPC-H
-    ratios); the two fact tables shuffle once on orderkey. The
+    nation/region keep broadcast hints (fixed 25/5 rows at any SF);
+    supplier scales with SF so its join is left to AQE's size-based choice
+    (broadcast at small SF, shuffle at 100 TB). The two fact tables
+    shuffle once on orderkey. The
     (l_suppkey, c_nationkey)=(s_suppkey, s_nationkey) pair exercises
     multi-pair JoinCondition::On (src/binder/table/join.rs:40-48).
     """
@@ -337,7 +341,7 @@ def q05_local_volume(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, (orders.o_custkey == cust.c_custkey))
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -361,12 +365,13 @@ def q17_join_residual(spark, sf_dir):
     """Inner hash join with a non-equi residual predicate — the equi pair is
     split from the residual at bind time in the reference
     (src/binder/table/join.rs:89-227, hash_join.rs:47-127); Catalyst does the
-    same split internally. part is broadcast-size."""
+    same split internally. part scales with SF — no forced broadcast hint;
+    AQE/stats broadcast it while it fits."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     return (
         li.join(
-            F.broadcast(part),
+            part,
             (li.l_partkey == part.p_partkey) & (li.l_quantity > part.p_size),
         )
         .groupBy("p_brand")
@@ -649,13 +654,14 @@ def q19_disjunctive_pred(spark, sf_dir):
     Reference ops: hash join + residual filter (src/executor/join/
     hash_join.rs:47-127), Kleene AND/OR (src/function/conjunction/
     default_conjunction.rs:114-144), comparisons (default_comparison.rs).
-    Scale: the equi half (p_partkey = l_partkey) drives a broadcast hash
-    join on the dimension; the disjunction stays a post-join residual that
-    Catalyst also partially pushes to both scans (each branch's
-    single-table conjuncts OR-ed per side).
+    Scale: the equi half (p_partkey = l_partkey) drives the join — AQE
+    broadcasts part while it fits (no forced hint: part scales with SF);
+    the disjunction stays a post-join residual that Catalyst also
+    partially pushes to both scans (each branch's single-table conjuncts
+    OR-ed per side).
     """
     li = t(spark, sf_dir, "lineitem")
-    part = F.broadcast(t(spark, sf_dir, "part"))
+    part = t(spark, sf_dir, "part")
     one = F.lit("1.00").cast("decimal(18,2)")
     joined = li.join(part, F.col("p_partkey") == F.col("l_partkey"))
     cond = (
@@ -767,8 +773,9 @@ def q21_top_supplier(spark, sf_dir):
     Reference ops: uncorrelated scalar subquery in WHERE rewritten to a
     cross join against the 1-row aggregate (src/binder/table/
     subquery.rs:99-167) — the same plan is used here explicitly.  Scale:
-    revenue is one shuffle on l_suppkey; the 1-row max broadcasts; the
-    supplier dimension joins broadcast; nothing rescans lineitem twice
+    revenue is one shuffle on l_suppkey; the 1-row max broadcasts
+    (explicit hint is safe — always exactly one row); supplier scales
+    with SF so its join is stats-chosen; nothing rescans lineitem twice
     (the revenue plan is shared via cache-free recompute of a cheap agg).
     """
     li = t(spark, sf_dir, "lineitem")
@@ -789,7 +796,7 @@ def q21_top_supplier(spark, sf_dir):
     max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("__max_rev"))
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(sup, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )

@@ -180,14 +180,39 @@ def test_x13_range_join_broadcasts(spark, sf_dir):
 
 
 def test_q28_dims_broadcast_and_partial_agg(spark, sf_dir):
-    # Q9-shape profit: part/supplier/nation must broadcast (never shuffle
-    # the fact against a dim); the profit agg partial-aggregates map-side;
-    # the p_name LIKE filter reaches the part scan
+    # Q9-shape profit: part/supplier/nation broadcast at this SF purely
+    # from size stats (no forced hints on the SF-scaling dims); the profit
+    # agg partial-aggregates map-side; the p_name LIKE filter reaches the
+    # part scan
     df = SPECS["q28_nation_profit"].fn(spark, sf_dir)
     s = explain_str(df)
     assert count_nodes(df, "BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in s
     assert has_partial_agg(df)
+
+
+def test_broadcasts_adapt_to_size_not_pinned(spark, sf_dir):
+    # The 100×-scale guard: dims that grow with SF (part/customer/supplier)
+    # must be broadcast by Catalyst's SIZE decision, not by a forced hint.
+    # Disabling the size threshold must therefore flip those joins to
+    # shuffle joins — if a hint were pinned, the plan could not adapt and
+    # would OOM executors at the 100 TB target.  Fixed-cardinality sides
+    # (nation: 25 rows; 1-row aggregate frames) keep explicit hints and
+    # must STILL broadcast with the threshold off.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # q28: part/supplier joins degrade to shuffle; nation's hint survives
+        df = SPECS["q28_nation_profit"].fn(spark, sf_dir)
+        assert count_nodes(df, "BroadcastHashJoin") == 1  # nation only
+        assert (
+            count_nodes(df, "SortMergeJoin") + count_nodes(df, "ShuffledHashJoin") >= 3
+        )
+        # q21: the 1-row max-revenue frame must keep broadcasting (hinted)
+        df2 = SPECS["q21_top_supplier"].fn(spark, sf_dir)
+        assert count_nodes(df2, "BroadcastHashJoin") >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_q30_preaggregates_orders_before_join(spark, sf_dir):
