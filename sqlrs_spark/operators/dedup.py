@@ -453,7 +453,7 @@ WITH ranked AS (
   FROM documents
 )
 SELECT source, doc_id AS canonical_doc, n_chars AS canonical_chars,
-       n_docs, total_chars
+       n_docs, CAST(total_chars AS BIGINT) AS total_chars
 FROM ranked WHERE rn = 1
 ORDER BY source
 """

@@ -37,7 +37,7 @@ _DRAW_DUCK = f"(({h31_duck('doc_id::VARCHAR')}) % 1000)"
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS sampled_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
            MIN(doc_id) AS first_doc
     FROM documents
     WHERE {_DRAW_DUCK} < {_RATE_SQL}
@@ -82,9 +82,9 @@ def p12_stratified_sample(spark, sf_dir):
       FROM documents
     )
     SELECT source,
-           (cum - n_chars) // 16384 AS pack_id,
+           CAST((cum - n_chars) // 16384 AS BIGINT) AS pack_id,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS pack_chars
+           CAST(SUM(n_chars) AS BIGINT) AS pack_chars
     FROM d
     GROUP BY source, pack_id
     ORDER BY source, pack_id
@@ -141,7 +141,7 @@ def p13_token_budget_pack(spark, sf_dir):
                                 ORDER BY {h31_duck('doc_id::VARCHAR')}, doc_id) AS rk
       FROM documents
     )
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS mixed_chars
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS mixed_chars
     FROM ranked
     WHERE rk <= CASE WHEN lang = 'en' THEN 120
                      WHEN lang = 'zh' THEN 80

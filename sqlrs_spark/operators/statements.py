@@ -257,8 +257,9 @@ def v09_partitioned_sink(spark, sf_dir):
 @register(
     "v10_jsonl_roundtrip",
     oracle=f"""
-    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS chars,
-           SUM({h31_duck('text')}) AS text_digest
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM({h31_duck('text')}) AS BIGINT) AS text_digest
     FROM documents
     WHERE lang IN ('fr', 'zh')
     GROUP BY lang, source

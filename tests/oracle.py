@@ -46,9 +46,14 @@ def compare(spark_df, duck_con, oracle_sql: str):
     """Return (ok, message) comparing a Spark DataFrame against DuckDB SQL."""
     sp_rows = spark_df.collect()
     sp_cols = spark_df.columns
-    duck_res = duck_con.execute(oracle_sql)
-    du_cols = [d[0] for d in duck_res.description]
-    du_rows = duck_res.fetchall()
+    # Fetch via Arrow, not fetchall(): duckdb's fetchall() renders HUGEINT
+    # (the widened type of SUM(BIGINT)) as a plain Python int equal to
+    # Spark's bigint, silently masking SUM-widening oracle bugs that the
+    # driver's Arrow-based value hash catches (v10 regression, round 1).
+    du_tbl = duck_con.execute(oracle_sql).arrow()
+    du_cols = du_tbl.column_names
+    du_py_cols = [c.to_pylist() for c in du_tbl.columns]
+    du_rows = list(zip(*du_py_cols)) if du_py_cols else []
 
     if sorted(sp_cols) != sorted(du_cols):
         return False, f"column mismatch: spark={sorted(sp_cols)} duck={sorted(du_cols)}"

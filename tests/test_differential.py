@@ -55,7 +55,7 @@ def agg_query(draw):
     where = draw(_where)
     return (
         f"SELECT {key}, COUNT(*) AS n, MIN(l_orderkey) AS min_k, "
-        f"MAX(l_orderkey) AS max_k, SUM(l_linenumber) AS sum_ln, "
+        f"MAX(l_orderkey) AS max_k, CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln, "
         f"COUNT(DISTINCT l_linenumber) AS nd_ln "
         f"FROM lineitem {where} GROUP BY {key} ORDER BY {key}"
     )
@@ -117,7 +117,7 @@ def join_query(draw):
     key = draw(st.sampled_from(["o_orderstatus", "l_returnflag", "l_linestatus"]))
     return (
         f"SELECT {key}, COUNT(*) AS n, MIN(l_orderkey) AS min_k, "
-        f"SUM(l_linenumber) AS sum_ln "
+        f"CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln "
         f"FROM lineitem {how} orders ON o_orderkey = l_orderkey {o_pred}"
         f"{where} GROUP BY {key} ORDER BY {key}"
     )
@@ -153,7 +153,7 @@ def having_query(draw):
     where = draw(_where)
     hv = draw(st.integers(1, 20))
     return (
-        f"SELECT {key}, COUNT(*) AS n, SUM(l_linenumber) AS s "
+        f"SELECT {key}, COUNT(*) AS n, CAST(SUM(l_linenumber) AS BIGINT) AS s "
         f"FROM lineitem {where} GROUP BY {key} "
         f"HAVING COUNT(*) >= {hv} ORDER BY {key}"
     )
@@ -210,10 +210,13 @@ def window_query(draw):
         if func.startswith(("SUM", "COUNT", "MIN"))
         else ""
     )
+    # CAST: DuckDB widens windowed SUM(BIGINT) to HUGEINT; the explicit
+    # BIGINT cast (valid in both engines) pins the common output type —
+    # same discipline every registry oracle follows.
     return (
         f"SELECT l_orderkey, l_linenumber, "
-        f"{func} OVER (PARTITION BY {part} "
-        f"ORDER BY l_orderkey, l_linenumber{frame}) AS w "
+        f"CAST({func} OVER (PARTITION BY {part} "
+        f"ORDER BY l_orderkey, l_linenumber{frame}) AS BIGINT) AS w "
         f"FROM lineitem {where} "
         f"ORDER BY l_orderkey, l_linenumber LIMIT 200"
     )
