@@ -29,3 +29,16 @@ def dec2(c: str | Column) -> Column:
 
 def as_double(c: Column) -> Column:
     return c.cast("double")
+
+
+def epoch_us(c: str | Column) -> Column:
+    """Timestamp → epoch microseconds (BIGINT), timezone-proof.
+
+    The testdata parquet stores naive `timestamp[us]`, which Spark 4 reads
+    as TIMESTAMP_NTZ while `unix_micros` requires TIMESTAMP_LTZ.  With the
+    session pinned to UTC (session.py) the cast is value-preserving for
+    NTZ and a no-op if a future regeneration ships tz-aware timestamps —
+    either way matching DuckDB's `epoch_us` on the same file.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(col.cast("timestamp_ltz"))

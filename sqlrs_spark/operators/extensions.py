@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from sqlrs_spark.operators.common import as_double, dec2, t
+from sqlrs_spark.operators.common import as_double, dec2, epoch_us, t
 from sqlrs_spark.registry import register
 from sqlrs_spark.sources.tables import register_views
 
@@ -290,7 +290,7 @@ def x09_events_tumbling(spark, sf_dir):
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
-    SELECT user_id, session_id, COUNT(*) AS n_events,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
            CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
     FROM sessions
     GROUP BY user_id, session_id
@@ -309,7 +309,11 @@ def x10_sessionization(spark, sf_dir):
         "new_session",
         F.when(
             lag_ts.isNull()
-            | ((F.col("ts").cast("long") - lag_ts.cast("long")) > 1800),
+            # full-precision micros gap — exactly the oracle's
+            # `ts - LAG(ts) > INTERVAL 30 MINUTE` (every ts in the data has
+            # sub-second micros, so truncating to seconds first would flip
+            # boundary-straddling gaps)
+            | ((epoch_us("ts") - epoch_us(lag_ts)) > 1800 * 1_000_000),
             1,
         ).otherwise(0),
     )
@@ -318,7 +322,12 @@ def x10_sessionization(spark, sf_dir):
         sessions.groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            # integral `div` keeps the floor exact on bigint micros (no
+            # double rounding); per-value floor ≡ DuckDB date_diff('second')
+            (
+                F.max(F.expr("unix_micros(cast(ts as timestamp_ltz)) div 1000000"))
+                - F.min(F.expr("unix_micros(cast(ts as timestamp_ltz)) div 1000000"))
+            ).alias(
                 "duration_s"
             ),
         )

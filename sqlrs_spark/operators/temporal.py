@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from sqlrs_spark.operators.common import t
+from sqlrs_spark.operators.common import epoch_us, t
 from sqlrs_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -80,7 +80,9 @@ def x12_asof_join(spark, sf_dir):
         "ts",
         F.lit(1).alias("tag"),
         F.lit(None).cast("double").alias("view_value"),
-        F.lit(None).cast("timestamp").alias("view_ts"),
+        # match ts's concrete type (TIMESTAMP_NTZ from naive parquet) so the
+        # union doesn't force an LTZ coercion on the views branch
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("view_ts"),
     )
     win = (
         W.partitionBy("user_id")
@@ -95,8 +97,8 @@ def x12_asof_join(spark, sf_dir):
         .select(
             "event_id",
             "user_id",
-            F.unix_micros("ts").alias("click_us"),
-            F.unix_micros("asof_ts").alias("view_us"),
+            epoch_us("ts").alias("click_us"),
+            epoch_us("asof_ts").alias("view_us"),
             F.col("asof_value").alias("view_value"),
         )
         .orderBy("event_id")

@@ -31,9 +31,12 @@ BROADCAST_SAFE = ("region", "nation")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read the raw int64 nanos and truncate to micros
-        # (same truncation DuckDB applies when it surfaces ns as TIMESTAMP).
+        # events.ts has shipped as both TIMESTAMP(NANOS) (round 1) and naive
+        # timestamp[us] (current testdata).  NANOS is rejected by Spark's
+        # vectorized reader, so keep the nanos-as-long fallback: if the file
+        # is NANOS the column surfaces as bigint and gets truncated to
+        # micros (the same truncation DuckDB applies); a micros file reads
+        # straight through as TIMESTAMP_NTZ and the branch is a no-op.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":

@@ -25,7 +25,9 @@ from sqlrs_spark.session import configure_runtime
 _EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources/tables.py)
+        # naive parquet timestamp[us] — same TIMESTAMP_NTZ the batch reader
+        # infers (sources/tables.py); session tz is pinned UTC
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -35,10 +37,14 @@ _EVENTS_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet file with the TIMESTAMP(NANOS)
-    workaround (nanos read as long, truncated to micros)."""
+    """readStream over the events parquet file.
+
+    Watermarks demand TIMESTAMP_LTZ (`EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE`
+    on NTZ), so the naive micros column is cast — value-preserving because
+    the session tz is pinned UTC (session.py), keeping wall-clock outputs
+    identical to the batch/DuckDB reads of the same file.
+    """
     configure_runtime(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # file stream sources require a directory: stream the sf_dir with a
     # glob filter selecting only the events file
     raw = (
@@ -46,7 +52,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
 
 
 def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
@@ -110,16 +116,39 @@ def s01_stream_tumbling(spark, sf_dir):
 
 @register(
     "s02_stream_stateful_sessions",
-    oracle=None,  # custom stateful streaming — driver records rows-only check
+    # gaps-and-islands: a session opens where the previous event by the
+    # same user is absent or > 30 min older — full-precision interval
+    # compare, exactly the stream's micros-gap check.  The unbounded-stream
+    # state machine is SQL-expressible over a BOUNDED replay, so the driver
+    # gets a real value hash (VERDICT r1: the 1000×-unit-bug history is why
+    # this operator needs one, not a rows-only check).
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
     tags=("pipeline", "streaming", "stateful"),
 )
 def s02_stream_stateful_sessions(spark, sf_dir):
     """Custom stateful operator: per-user session counting with a 30-minute
     gap, implemented with applyInPandasWithState (GroupState timeout).
 
-    Non-SQL-expressible (state machine over an unbounded stream); the
-    batch-mode twin x10_sessionization carries the oracle for the same
-    session definition.
+    The batch-mode twin x10_sessionization pins the same session
+    definition; over the bounded availableNow replay the fold is
+    deterministic, so the registry carries a full gaps-and-islands SQL
+    oracle (update-mode emission keeps only the final row per user, which
+    is what the oracle's GROUP BY computes).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -134,10 +163,13 @@ def s02_stream_stateful_sessions(spark, sf_dir):
             state.get if state.exists else (None, 0, 0)
         )
         rows = pd.concat(list(batches))
-        # datetime64[ns] int64 is NANOseconds — divide by 1e9 for seconds
-        # (// 1e6 would give millis and turn the 30-min gap into 1.8s)
-        for ts in sorted(rows["ts"].astype("int64") // 1_000_000_000):
-            if last_ts is None or ts - last_ts > 1800:
+        # datetime64[ns] int64 is NANOseconds — // 1_000 gives micros, the
+        # data's native precision; the 30-min gap compares in micros so the
+        # stream agrees exactly with x10's full-precision batch gap (every
+        # ts has sub-second micros; whole-second truncation would flip
+        # boundary-straddling gaps)
+        for ts in sorted(rows["ts"].astype("int64") // 1_000):
+            if last_ts is None or ts - last_ts > 1800 * 1_000_000:
                 n_sessions += 1
             n_events += 1
             last_ts = ts
@@ -299,9 +331,12 @@ def s05_stream_static_join(spark, sf_dir):
     dimension (customer segment) micro-batch by micro-batch, then feeds a
     running aggregation — the canonical streaming-ETL enrichment shape.
 
-    The static side is planned once and broadcast into every micro-batch
-    (no state is kept for it — stream-static inner joins are stateless in
-    Structured Streaming); only the downstream aggregation holds state,
+    The static side is planned per micro-batch with no state kept for it
+    (stream-static inner joins are stateless in Structured Streaming).
+    No forced broadcast hint: customer scales with SF, and a pinned
+    broadcast would OOM executors at the 100 TB target — the per-batch
+    plan picks broadcast from stats while the dimension fits, exactly as
+    in the batch operators.  Only the downstream aggregation holds state,
     keyed by (segment, type) — tiny and bounded.  At cluster scale the
     dimension refreshes by re-resolving the table per batch (Delta/parquet
     re-read), and the same plan serves a slowly-changing dimension.
@@ -312,7 +347,7 @@ def s05_stream_static_join(spark, sf_dir):
 
     ev = read_events_stream(spark, sf_dir)
     cust = load_static(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    joined = ev.join(cust, ev.user_id == cust.c_custkey)
     agg = (
         joined.groupBy("c_mktsegment", "event_type")
         .agg(
