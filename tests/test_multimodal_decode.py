@@ -1,0 +1,185 @@
+"""Real stdlib decode paths (VERDICT r1 #6): constructed PNG/WAV fixtures
+whose construction parameters are the oracle — dimensions, sample rate,
+duration, and pixel values are all asserted against what the generator
+put in, both pure-Python and through the Spark mapInPandas plumbing.
+"""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+import pytest
+
+from sqlrs_spark.functions.imaging import (
+    _PNG_CHANNELS,
+    _PNG_SIG,
+    decode_audio,
+    decode_image,
+    encode_png,
+    encode_wav,
+    resize_image,
+    sniff_decode_meta,
+)
+
+
+def _pixels(w: int, h: int, bpp: int, seed: int = 7) -> bytes:
+    rng = random.Random(seed)
+    return bytes(rng.randrange(256) for _ in range(w * h * bpp))
+
+
+@pytest.mark.parametrize(
+    "w,h,color_type", [(13, 7, 0), (16, 16, 2), (5, 9, 4), (8, 3, 6)]
+)
+def test_png_roundtrip_all_color_types(w, h, color_type):
+    bpp = _PNG_CHANNELS[color_type]
+    src = _pixels(w, h, bpp)
+    dw, dh, out = decode_image(encode_png(w, h, src, color_type))
+    assert (dw, dh) == (w, h)
+    assert bytes(out) == src
+
+
+def _filtered_png(w: int, h: int, pixels: bytes, bpp: int, ftype: int) -> bytes:
+    """Build a PNG whose every scanline uses filter ``ftype`` — exercises
+    the unfilter branches our own encoder (filter 0 only) never emits."""
+    import struct
+
+    stride = w * bpp
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        line = bytearray(pixels[y * stride : (y + 1) * stride])
+        enc = bytearray(stride)
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[i] = (line[i] - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(enc)
+        prev = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}.get(bpp, 2), 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+def test_png_unfilter_sub_up_average_paeth(ftype):
+    w, h, bpp = 11, 6, 3
+    src = _pixels(w, h, bpp, seed=ftype)
+    dw, dh, out = decode_image(_filtered_png(w, h, src, bpp, ftype))
+    assert (dw, dh) == (w, h)
+    assert bytes(out) == src
+
+
+def test_png_rejects_non_png_and_exotic():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    # 16-bit depth PNG: valid container, unsupported depth
+    import struct
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    deep = _PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+    with pytest.raises(NotImplementedError):
+        decode_image(deep)
+
+
+def test_resize_nearest_neighbor_exact():
+    # 8x4 RGB, box 4 → 4x2; expected pixels computed independently here
+    w, h, bpp, box = 8, 4, 3, 4
+    src = _pixels(w, h, bpp, seed=42)
+    out = resize_image(encode_png(w, h, src, 2), box)
+    nw, nh, pix = decode_image(out)
+    assert (nw, nh) == (4, 2)
+    for y in range(nh):
+        for x in range(nw):
+            sx, sy = x * w // nw, y * h // nh
+            expect = src[(sy * w + sx) * bpp : (sy * w + sx) * bpp + bpp]
+            got = bytes(pix[(y * nw + x) * bpp : (y * nw + x) * bpp + bpp])
+            assert got == expect, (x, y)
+
+
+def test_resize_tall_and_tiny():
+    # tall image: height is the long side; 1-pixel floor kicks in
+    w, h, bpp = 2, 300, 1
+    src = _pixels(w, h, bpp, seed=3)
+    nw, nh, _ = decode_image(resize_image(encode_png(w, h, src, 0), 64))
+    assert (nw, nh) == (max(1, 2 * 64 // 300), 64) == (1, 64)
+
+
+def test_wav_roundtrip_meta_and_pcm():
+    rate, n_frames = 8000, 12345
+    rng = random.Random(1)
+    pcm = bytes(rng.randrange(256) for _ in range(n_frames * 2))  # 16-bit mono
+    meta = decode_audio(encode_wav(rate, pcm))
+    assert meta["sample_rate"] == rate
+    assert meta["n_channels"] == 1
+    assert meta["sample_width"] == 2
+    assert meta["n_frames"] == n_frames
+    assert meta["duration_ms"] == n_frames * 1000 // rate
+    assert meta["pcm"] == pcm
+
+
+def test_wav_rejects_compressed():
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04mp3 data")
+
+
+def test_extract_meta_real_on_spark(spark):
+    """The Spark-side proof: mixed PNG/WAV/opaque payloads through the
+    mapInPandas decode dispatch — by-value cloudpickle must carry the
+    stdlib decoder to workers that cannot import sqlrs_spark."""
+    from sqlrs_spark.operators.multimodal import extract_meta_real
+
+    png = encode_png(20, 10, _pixels(20, 10, 3), 2)
+    wav = encode_wav(16000, b"\x00\x01" * 16000)  # exactly 1 s
+    txt = "plain text payload".encode()
+    rows = [(1, bytearray(png)), (2, bytearray(wav)), (3, bytearray(txt))]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in extract_meta_real(df).collect()
+    }
+    assert got[1]["format"] == "png" and (got[1]["width"], got[1]["height"]) == (20, 10)
+    assert got[2]["format"] == "wav"
+    assert got[2]["width"] == 16000  # sample_rate
+    assert got[2]["height"] == 1000  # duration_ms
+    exp_kind, exp_w, exp_h = sniff_decode_meta(txt)
+    assert exp_kind == "opaque"
+    assert (got[3]["format"], got[3]["width"], got[3]["height"]) == (
+        "opaque",
+        exp_w,
+        exp_h,
+    )
+    assert got[1]["byte_len"] == len(png)
+    assert got[1]["magic"] == png[:4].hex()
