@@ -2,6 +2,9 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+tools/bench10x.py reuses the helpers here to time the same query set on a
+10x key-shifted replica against DuckDB on identical data.
 """
 
 from __future__ import annotations
@@ -14,53 +17,55 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+def table_bytes(sf_dir: str, entry: str) -> int:
+    # a "table" is either a single parquet file or a directory of part
+    # files (the layout every real cluster dataset has) — getsize on a
+    # directory returns the dirent size, not the data size
+    path = os.path.join(sf_dir, entry)
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    return os.path.getsize(path)
 
+
+def split_bytes(sf_dir: str, cpus: int) -> int:
+    """Scale-aware input split size: target ≥2 splits per core on the
+    largest table so every core scans, clamped to [4 MiB, 128 MiB].  At
+    cluster scale (TB+ inputs) the formula saturates at Spark's 128 MiB
+    default — this only kicks in when the data is small relative to the
+    core count.  The 4 MiB floor matters at toy SFs: below a few MB per
+    task the per-task scheduling overhead dominates the scan itself
+    (measured ~25% of total bench wall at sf0.1 with a 1 MiB floor)."""
+    biggest = max((table_bytes(sf_dir, f) for f in os.listdir(sf_dir)), default=0)
+    return min(max(biggest // (2 * cpus), 4 << 20), 128 << 20)
+
+
+def bench_spark(sf_dir: str, cpus: int | None = None, app: str = "sqlrs_spark_bench"):
+    """Build the bench session and time every bench-flagged spec.
+
+    Protocol: one untimed warm run per query (JIT + codegen + parquet
+    footer cache), then best-of-2 timed runs — steady-state engine
+    throughput, the number that scales to a long-lived cluster, with
+    local-machine noise (GC pauses, other processes) damped.  Both timed
+    runs execute the full plan.
+    """
     from sqlrs_spark.registry import all_specs
     from sqlrs_spark.session import build_spark
 
-    # Scale-aware input split size: target ≥2 splits per core on the largest
-    # table so every core scans, clamped to [4 MiB, 128 MiB].  At cluster
-    # scale (TB+ inputs) the formula saturates at Spark's 128 MiB default —
-    # this only kicks in when the data is small relative to the core count.
-    # The 4 MiB floor matters at toy SFs: below a few MB per task the
-    # per-task scheduling overhead dominates the scan itself (measured ~25%
-    # of total bench wall at sf0.1 with a 1 MiB floor).
-    def table_bytes(entry: str) -> int:
-        # a "table" is either a single parquet file or a directory of part
-        # files (the layout every real cluster dataset has) — getsize on a
-        # directory returns the dirent size, not the data size
-        path = os.path.join(sf_dir, entry)
-        if os.path.isdir(path):
-            return sum(
-                os.path.getsize(os.path.join(root, f))
-                for root, _, files in os.walk(path)
-                for f in files
-            )
-        return os.path.getsize(path)
-
-    biggest = max((table_bytes(f) for f in os.listdir(sf_dir)), default=0)
-    mpb = min(max(biggest // (2 * cpus), 4 << 20), 128 << 20)
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     spark = build_spark(
-        "sqlrs_spark_bench",
+        app,
         cores=cpus,
         shuffle_partitions=cpus,
         extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(mpb),
+            "spark.sql.files.maxPartitionBytes": str(split_bytes(sf_dir, cpus)),
             "spark.sql.files.openCostInBytes": str(256 << 10),
         },
     )
     specs = [s for s in all_specs().values() if s.bench]
-
-    # Protocol: one untimed warm run per query (JIT + codegen + parquet
-    # footer cache), then the timed run. This measures steady-state engine
-    # throughput — the number that scales to a long-lived cluster — rather
-    # than single-process JVM warmup, which is a fixed cost amortized over
-    # a session's lifetime.
-    # Best-of-2 timed runs damp local-machine noise (GC pauses, other
-    # processes) without hiding real cost — both runs execute the full plan.
     timings: dict[str, float] = {}
     for s in specs:
         s.fn(spark, sf_dir).collect()  # warm
@@ -71,7 +76,12 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[s.name] = round(best, 4)
         print(f"# {s.name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+    return spark, specs, timings
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark, _, timings = bench_spark(sf_dir)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

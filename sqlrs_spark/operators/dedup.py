@@ -77,18 +77,28 @@ def _minhash_sig(spark_dialect: bool) -> str:
     return hs, f"[{perms}]"
 
 
-def _cap_join(bucket_cap):
+def _capped_bands(bucket_cap):
     # degenerate-bucket guard: band buckets holding more than bucket_cap
     # docs are boilerplate collapse (every member nearly identical) and
     # would make the self-join quadratic; the standard mitigation is to
     # drop them from candidate generation (dedup of boilerplate belongs to
-    # exact dedup / clustering, not pairwise LSH)
+    # exact dedup / clustering, not pairwise LSH).
+    #
+    # The cap is a WINDOW count, not a join against a HAVING aggregate: a
+    # join formulation leaves Catalyst free to reorder the self-join ahead
+    # of the cap filter, re-exposing the quadratic blowup the cap exists
+    # to prevent (observed on the 10x duplicate-heavy replica: 71 s vs
+    # ~2 s — stats flipped the join order at scale).  A window is an
+    # optimizer barrier — pairing can never run before it — and it
+    # partitions on (band, band_key), the same shuffle the self-join
+    # needs, so the guard costs no extra exchange.
     if bucket_cap is None:
-        return ""
+        return "bands"
     return (
-        "  JOIN (SELECT band, band_key FROM bands "
-        f"GROUP BY band, band_key HAVING COUNT(*) <= {bucket_cap}) ok\n"
-        "    ON a.band = ok.band AND a.band_key = ok.band_key\n"
+        "(SELECT doc_id, band, band_key FROM ("
+        "SELECT doc_id, band, band_key, "
+        "COUNT(*) OVER (PARTITION BY band, band_key) AS __bsz FROM bands"
+        f") WHERE __bsz <= {bucket_cap})"
     )
 
 
@@ -106,7 +116,7 @@ def _p02(spark_dialect: bool, bucket_cap: int | None = None) -> str:
             "concat_ws(':', slice(sig, band * {r} + 1, {r}))".format(r=_ROWS_PER_BAND)
         )
         bands = f"explode(sequence(0, {_N_BANDS - 1}))"
-        cap_join = _cap_join(bucket_cap)
+        src = _capped_bands(bucket_cap)
         inter = "size(array_intersect(a.toks, b.toks))"
         nsz = "size({s}.toks)"
         sql = f"""
@@ -121,9 +131,9 @@ bands AS (
 cand AS (
   SELECT /*+ SHUFFLE_MERGE(a), SHUFFLE_MERGE(b) */
          DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM {src} a JOIN {src} b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-{cap_join}),
+),
 toks_t AS (
   SELECT doc_id, {toks} AS toks FROM documents
 )
@@ -142,7 +152,7 @@ ORDER BY doc_a, doc_b
     )
     inter = "len(list_intersect(a.toks, b.toks))"
     nsz = "len({s}.toks)"
-    cap_join = _cap_join(bucket_cap)
+    src = _capped_bands(bucket_cap)
     return f"""
 WITH sigs AS (
   SELECT doc_id, {sig} AS sig
@@ -154,9 +164,9 @@ bands AS (
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM {src} a JOIN {src} b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-{cap_join}),
+),
 toks_t AS (
   SELECT doc_id, {toks} AS toks FROM documents
 )
