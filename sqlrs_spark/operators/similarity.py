@@ -26,17 +26,25 @@ _N_PLANES = 8
 
 
 def _p06(spark_dialect: bool) -> str:
+    # Self-norms are per-VECTOR, not per-pair: computed once in the `e`
+    # CTE so the n_queries × corpus scoring loop folds exactly one
+    # vector-length expression (the dot product) per pair instead of
+    # three.  Same association order as before, so cosines (and the
+    # driver value hash) are bit-identical across both engines.
     if spark_dialect:
         v = "transform(embedding, x -> cast(x as double))"
+        norm_self = "aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x)"
         dot = "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0.0 as double), (acc, p) -> acc + p)"
-        norm = "aggregate({s}.v, cast(0.0 as double), (acc, x) -> acc + x * x)"
     else:
         v = "embedding::DOUBLE[]"
+        norm_self = "list_dot_product(v, v)"
         dot = "list_dot_product(q.v, c.v)"
-        norm = "list_dot_product({s}.v, {s}.v)"
-    cos = f"{dot} / sqrt({norm.format(s='q')} * {norm.format(s='c')})"
+    cos = f"{dot} / sqrt(q.nrm * c.nrm)"
     return f"""
-WITH e AS (SELECT vec_id, {v} AS v FROM embeddings),
+WITH e AS (
+  SELECT vec_id, v, {norm_self} AS nrm
+  FROM (SELECT vec_id, {v} AS v FROM embeddings) base
+),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
   FROM e q JOIN e c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
@@ -78,8 +86,8 @@ def _p07(spark_dialect: bool) -> str:
             f"(acc, p) -> acc + if({plane_dot} >= 0, shiftleft(cast(1 as bigint), p), 0))"
         )
         v = "transform(embedding, x -> cast(x as double))"
+        norm_self = "aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x)"
         dot = "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0.0 as double), (acc, p) -> acc + p)"
-        norm = "aggregate({s}.v, cast(0.0 as double), (acc, x) -> acc + x * x)"
     else:
         coef = (
             "((" + md5int_duck("concat(p::VARCHAR, ':', d::VARCHAR)")
@@ -96,12 +104,13 @@ def _p07(spark_dialect: bool) -> str:
             f"(acc, x) -> acc + x)"
         )
         v = "embedding::DOUBLE[]"
+        norm_self = "list_dot_product(v, v)"
         dot = "list_dot_product(q.v, c.v)"
-        norm = "list_dot_product({s}.v, {s}.v)"
-    cos = f"{dot} / sqrt({norm.format(s='q')} * {norm.format(s='c')})"
+    # per-vector self-norm precomputed alongside the bucket (see _p06)
+    cos = f"{dot} / sqrt(q.nrm * c.nrm)"
     return f"""
 WITH e AS (
-  SELECT vec_id, v, {bucket} AS bucket
+  SELECT vec_id, v, {norm_self} AS nrm, {bucket} AS bucket
   FROM (SELECT vec_id, {v} AS v FROM embeddings) base
 ),
 scored AS (
