@@ -153,6 +153,47 @@ _INSERT_VALUES_RE = re.compile(
 )
 
 
+# String/identifier tokens, mirroring Spark's lexer (verified on 4.1, ANSI
+# mode on): single- and double-quoted literals honor BOTH backslash escapes
+# (``'a\'b'`` → a'b) and quote doubling (``'it''s'``); backticked
+# identifiers double the backtick.  Every regex rewrite below must skip
+# these spans — a ``read_csv('f.csv')`` INSIDE a string literal is data,
+# not syntax (the frontend-fuzz suite pins this down).
+_LITERAL_RE = re.compile(
+    r"'(?:[^'\\]|\\.|'')*'" r'|"(?:[^"\\]|\\.|"")*"' r"|`(?:[^`]|``)*`",
+    re.DOTALL,
+)
+
+
+def _literal_spans(q: str) -> list[tuple[int, int]]:
+    return [(m.start(), m.end()) for m in _LITERAL_RE.finditer(q)]
+
+
+def _sub_outside_literals(pattern: re.Pattern, repl, q: str) -> str:
+    """``pattern.sub(repl, q)``, but only for matches STARTING outside
+    string-literal/identifier tokens.  A match may still span into a
+    literal (``FROM 'x.csv'`` legitimately captures the quoted path)."""
+    spans = _literal_spans(q)
+    out: list[str] = []
+    last = 0
+    for m in pattern.finditer(q):
+        if any(s <= m.start() < e for s, e in spans):
+            continue
+        out.append(q[last : m.start()])
+        out.append(repl(m) if callable(repl) else m.expand(repl))
+        last = m.end()
+    out.append(q[last:])
+    return "".join(out)
+
+
+def _search_outside_literals(pattern: re.Pattern, q: str) -> re.Match | None:
+    spans = _literal_spans(q)
+    for m in pattern.finditer(q):
+        if not any(s <= m.start() < e for s, e in spans):
+            return m
+    return None
+
+
 def _split_statements(q: str) -> list[str]:
     """Split a multi-statement string on ``;`` outside quotes.
 
@@ -162,10 +203,15 @@ def _split_statements(q: str) -> list[str]:
     parts: list[str] = []
     buf: list[str] = []
     in_str: str | None = None
+    escaped = False
     for ch in q:
         if in_str:
             buf.append(ch)
-            if ch == in_str:
+            if escaped:
+                escaped = False
+            elif ch == "\\":
+                escaped = True
+            elif ch == in_str:
                 in_str = None
         elif ch in ("'", '"'):
             in_str = ch
@@ -185,10 +231,15 @@ def _split_top_level(s: str, sep: str) -> list[str]:
     buf: list[str] = []
     depth = 0
     in_str: str | None = None
+    escaped = False
     for ch in s:
         if in_str:
             buf.append(ch)
-            if ch == in_str:
+            if escaped:
+                escaped = False
+            elif ch == "\\":
+                escaped = True
+            elif ch == in_str:
                 in_str = None
         elif ch in ("'", '"'):
             in_str = ch
@@ -379,7 +430,7 @@ class Session:
             self.read_csv(path, header=header, delim=delim).createOrReplaceTempView(view)
             return view
 
-        q = _READ_CSV_RE.sub(_sub_read_csv, q)
+        q = _sub_outside_literals(_READ_CSV_RE, _sub_read_csv, q)
 
         # replacement scan: FROM 'file.csv' (bind_base_table_ref.rs:97-126).
         # The reference binds the scan under the file stem, so qualified
@@ -398,22 +449,24 @@ class Session:
             df.createOrReplaceTempView(view)
             return f"{match.group('kw')} {view}"
 
-        q = _REPLACEMENT_SCAN_RE.sub(_sub_path, q)
+        q = _sub_outside_literals(_REPLACEMENT_SCAN_RE, _sub_path, q)
 
         if re.match(r"^\s*create\s+table\b", q, re.IGNORECASE):
-            q = _UNSIGNED_DDL_RE.sub(
-                lambda m: _UNSIGNED_DDL_MAP[m.group("base").lower()], q
+            q = _sub_outside_literals(
+                _UNSIGNED_DDL_RE, lambda m: _UNSIGNED_DDL_MAP[m.group("base").lower()], q
             )
-            q = _VARCHAR_DDL_RE.sub("string", q)
+            q = _sub_outside_literals(_VARCHAR_DDL_RE, lambda m: "string", q)
 
-        if _SQLRS_TABLES_RE.search(q):
+        if _search_outside_literals(_SQLRS_TABLES_RE, q):
             self.sqlrs_tables().createOrReplaceTempView("__sqlrs_tables_view")
-            q = _SQLRS_TABLES_RE.sub("__sqlrs_tables_view", q)
-        if _SQLRS_COLUMNS_RE.search(q):
+            q = _sub_outside_literals(_SQLRS_TABLES_RE, lambda m: "__sqlrs_tables_view", q)
+        if _search_outside_literals(_SQLRS_COLUMNS_RE, q):
             self.sqlrs_columns().createOrReplaceTempView("__sqlrs_columns_view")
-            q = _SQLRS_COLUMNS_RE.sub("__sqlrs_columns_view", q)
+            q = _sub_outside_literals(_SQLRS_COLUMNS_RE, lambda m: "__sqlrs_columns_view", q)
 
-        q = _OFFSET_LIMIT_RE.sub(lambda m: f"limit {m.group('lim')} offset {m.group('off')}", q)
+        q = _sub_outside_literals(
+            _OFFSET_LIMIT_RE, lambda m: f"limit {m.group('lim')} offset {m.group('off')}", q
+        )
 
         try:
             return self.spark.sql(q)
@@ -461,7 +514,12 @@ class Session:
 
 
 def _rewrite_where_alias(q: str) -> str | None:
-    """Substitute select-list alias expressions into the WHERE clause."""
+    """Substitute select-list alias expressions into the WHERE clause.
+
+    Both the WHERE-boundary scan and the alias substitution are literal-
+    aware: ``where note = 'group by'`` must not truncate the clause, and an
+    alias named ``a`` must not rewrite the characters of ``'a b'``.
+    """
     m = re.match(r"(?is)^\s*select\s+(?P<sel>.*?)\s+from\s+(?P<rest>.*)$", q)
     if not m:
         return None
@@ -473,15 +531,19 @@ def _rewrite_where_alias(q: str) -> str | None:
             aliases[am.group("alias").lower()] = am.group("expr").strip()
     if not aliases:
         return None
-    wm = re.search(
-        r"(?is)\bwhere\b(?P<w>.*?)(?=\bgroup\s+by\b|\border\s+by\b|\blimit\b|\boffset\b|$)",
-        rest,
-    )
+    wm = _search_outside_literals(re.compile(r"(?i)\bwhere\b"), rest)
     if not wm:
         return None
-    w = new_w = wm.group("w")
+    tail = rest[wm.end() :]
+    em = _search_outside_literals(
+        re.compile(r"(?i)\bgroup\s+by\b|\border\s+by\b|\blimit\b|\boffset\b"), tail
+    )
+    w_end = wm.end() + (em.start() if em else len(tail))
+    w = new_w = rest[wm.end() : w_end]
     for alias, expr in aliases.items():
-        new_w = re.sub(rf"(?i)\b{re.escape(alias)}\b", f"({expr})", new_w)
+        new_w = _sub_outside_literals(
+            re.compile(rf"(?i)\b{re.escape(alias)}\b"), lambda _m: f"({expr})", new_w
+        )
     if new_w == w:
         return None
-    return f"select {sel} from {rest[: wm.start('w')]}{new_w}{rest[wm.end('w') :]}"
+    return f"select {sel} from {rest[: wm.end()]}{new_w}{rest[w_end:]}"
