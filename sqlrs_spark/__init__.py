@@ -9,7 +9,8 @@ pipeline needs (dedup, similarity search, text analysis, multimodal
 plumbing), all designed for 100 TB / multi-executor scale.
 """
 
+from sqlrs_spark.client_context import ClientContext
 from sqlrs_spark.session import Session, build_spark
 
-__all__ = ["Session", "build_spark"]
+__all__ = ["ClientContext", "Session", "build_spark"]
 __version__ = "0.1.0"
