@@ -1,19 +1,29 @@
-"""10x-scale benchmark (VERDICT r1 #4): the tracked perf artifact.
+"""Scaled benchmark (VERDICT r1 #4): the tracked perf artifact.
 
-Builds (or reuses) a 10x key-shifted replica of sf0.1 (~sf1) as a
-directory of part files per table — the layout every real cluster
-dataset has — then times the bench query set on it in BOTH engines on
-identical bytes: Spark via bench.bench_spark, DuckDB by running each
-spec's oracle SQL.  Emits one JSON line and writes BENCH10X_r{N}.json.
+Builds (or reuses) an N-fold key-shifted replica of sf0.1 (``--factor 10``
+≈ sf1, ``--factor 100`` ≈ sf10) as a directory of part files per table —
+the layout every real cluster dataset has — then times the bench query set
+on it in BOTH engines on identical bytes: Spark via bench.bench_spark,
+DuckDB by running each spec's oracle SQL.  Emits one JSON line and writes
+BENCH{factor}X_r{N}.json.
 
-Key shifting keeps join fan-out identical to the base data (replica i
-adds i*STRIDE to every join key, so each replica joins only within
-itself); nation/region are fixed-cardinality dimensions and are copied
-once, preserving TPC-H's dim/fact ratios.  Text/embedding payloads
-replicate as-is: dedup/ANN queries then measure the same shuffle and
-candidate-generation cost per byte as the base corpus.
+Replica design:
+- **Key shifting** keeps join fan-out identical to the base data (replica
+  i adds i*STRIDE to every join key, so each replica joins only within
+  itself); nation/region are fixed-cardinality dimensions, copied once,
+  preserving TPC-H's dim/fact ratios.
+- **Token salting on documents** (replica i>0 suffixes every token with
+  ``_r<i>``) keeps replicas token-disjoint, so each contributes the BASE
+  corpus's duplicate-group structure and dedup candidates scale linearly
+  with the factor — the honest 100-TB profile.  Verbatim text replication
+  would instead multiply every duplicate group by the factor: at 100x all
+  LSH buckets blow past the degenerate-bucket cap and candidate
+  generation measures nothing, while exact dedup degenerates into a
+  corpus that is 99% duplicates.
+- Embeddings replicate as-is: vector count is the only cost driver for
+  the scoring/bucketing plans, and tie-breaks are by (shifted) vec_id.
 
-Usage: python tools/bench10x.py [--round N] [--dir DIR]
+Usage: python tools/bench10x.py [--round N] [--factor 10|100] [--dir DIR]
 """
 
 from __future__ import annotations
@@ -27,9 +37,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-REPLICAS = 10
 STRIDE = 10**9
 SRC = "/root/testdata/sf0.1"
+MARKER_VERSION = "v2-salted-docs"
 
 SHIFT_COLS = {
     "customer": ["c_custkey"],
@@ -44,29 +54,47 @@ SHIFT_COLS = {
 COPY_ONCE = ["nation", "region"]
 
 
-def build_replica(spark, dst: str) -> None:
+def build_replica(spark, dst: str, factor: int) -> None:
     from pyspark.sql import functions as F
 
     done_marker = os.path.join(dst, "_REPLICA_OK")
-    if os.path.exists(done_marker):
+    stamp = f"{MARKER_VERSION} x{factor}\n"
+    if os.path.exists(done_marker) and open(done_marker).read() == stamp:
         print(f"# reusing replica at {dst}", file=sys.stderr)
         return
-    rep = spark.range(REPLICAS).select(F.col("id").alias("__r"))
+    # part files per table: a real multi-file directory without drowning
+    # the corpus in tiny files; more files at higher factors so every
+    # core scans during the build AND the bench
+    nparts = 16 if factor <= 10 else 64
+    rep = spark.range(factor).select(F.col("id").alias("__r"))
     for t, cols in SHIFT_COLS.items():
         df = spark.read.parquet(f"{SRC}/{t}.parquet").crossJoin(F.broadcast(rep))
         for c in cols:
             df = df.withColumn(c, F.col(c) + F.col("__r") * STRIDE)
-        # 16 part files per table: a real multi-file directory without
-        # drowning a 175 MB corpus in tiny files
-        df.drop("__r").repartition(16).write.mode("overwrite").parquet(
+        if t == "documents":
+            # token-salt replicas 1..n-1 (module docstring: linear, not
+            # multiplicative, duplicate structure)
+            salted = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda tok: F.concat(
+                        tok, F.lit("_r"), F.col("__r").cast("string")
+                    ),
+                ),
+                " ",
+            )
+            df = df.withColumn(
+                "text", F.when(F.col("__r") == 0, F.col("text")).otherwise(salted)
+            )
+        df.drop("__r").repartition(nparts).write.mode("overwrite").parquet(
             f"{dst}/{t}.parquet"
         )
-        print(f"# built {t} x{REPLICAS}", file=sys.stderr)
+        print(f"# built {t} x{factor}", file=sys.stderr)
     for t in COPY_ONCE:
         spark.read.parquet(f"{SRC}/{t}.parquet").coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{dst}/{t}.parquet")
-    open(done_marker, "w").write("ok\n")
+    open(done_marker, "w").write(stamp)
 
 
 def bench_duckdb(specs, dst: str) -> dict[str, float]:
@@ -96,23 +124,25 @@ def bench_duckdb(specs, dst: str) -> dict[str, float]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, default=2)
-    ap.add_argument("--dir", default="/tmp/sqlrs_replica10x")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--dir", default=None)
     args = ap.parse_args()
+    dst = args.dir or f"/tmp/sqlrs_replica{args.factor}x"
 
     from bench import bench_spark
     from sqlrs_spark.session import build_spark
 
     builder = build_spark("sqlrs_replica_build")
-    build_replica(builder, args.dir)
+    build_replica(builder, dst, args.factor)
     builder.stop()
 
-    spark, specs, spark_t = bench_spark(args.dir, app="sqlrs_spark_bench10x")
+    spark, specs, spark_t = bench_spark(dst, app=f"sqlrs_spark_bench{args.factor}x")
     spark.stop()
-    duck_t = bench_duckdb(specs, args.dir)
+    duck_t = bench_duckdb(specs, dst)
 
     common = [n for n in spark_t if n in duck_t]
     result = {
-        "metric": "bench10x_total",
+        "metric": f"bench{args.factor}x_total",
         "value": round(sum(spark_t.values()), 4),
         "unit": "sec",
         "queries": spark_t,
@@ -125,11 +155,12 @@ def main() -> None:
         "ratio_queries": {
             n: round(spark_t[n] / max(duck_t[n], 1e-9), 2) for n in common
         },
-        "sf": "1.0 (10x key-shifted sf0.1, multi-file layout)",
+        "sf": f"~{args.factor / 10:g} ({args.factor}x key-shifted token-salted sf0.1,"
+        " multi-file layout)",
     }
     line = json.dumps(result)
     print(line)
-    out = os.path.join(REPO, f"BENCH10X_r{args.round:02d}.json")
+    out = os.path.join(REPO, f"BENCH{args.factor}X_r{args.round:02d}.json")
     with open(out, "w") as f:
         f.write(json.dumps(result, indent=2) + "\n")
     print(f"# wrote {out}", file=sys.stderr)
