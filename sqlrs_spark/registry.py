@@ -83,6 +83,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t05_chunking",
     "t06_repetition",
     "t07_pattern_scrub",
+    "t08_quality_rules",
     # multimodal plumbing (m01-m04)
     "m01_multimodal_meta",
     "m02_frame_sample",
@@ -95,15 +96,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "s04_stream_dedup",
     "s05_stream_static_join",
     "s06_stream_funnel",
+    "s07_stream_stream_join",
     # beyond-reference §2.5/§2.7/§2.8 families with no round-1 driver row
     "x03_set_ops",
     "x04_window_topk",
     "x05_expressions",
     # one representative per §2 family (re-verified, all green round 1)
     "q01_pricing_summary",  # §2.4 hash agg
-    "q02_filter_project",  # §2.2 filter/project
-    "q05_local_volume",  # §2.3 multi-join
-    "q09_join_full",  # §2.3 outer joins
+    "q05_local_volume",  # §2.3 multi-join (§2.2 filter/project rides q19;
+    # outer joins q07-q09 keep their green round-1 rows + slt coverage)
     "q13_order_limit_offset",  # §2.6 sort/limit
     "q14_agg_distinct",  # §2.4 distinct aggs
     "q15_date_interval",  # §2.8 date arithmetic
