@@ -23,6 +23,23 @@ from sqlrs_spark.sources.tables import register_views
 _TOP_K = 5
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
 _N_PLANES = 8
+_DIM = 64  # embedding dimensionality (TESTDATA.md)
+
+# Dot-product form note: an unrolled 64-term `element_at(a,1)*element_at(b,1)
+# + ...` expression was measured and REJECTED — it tripled p06's time at the
+# 100x replica (3.0s -> 9.9s; the 128-call expression overflows the codegen
+# method-size limits and the whole projection falls back to interpreted).
+# The sequential `aggregate(zip_with(...))` fold below stays, with the one
+# structural win kept: per-vector self-norms precomputed in the `e` CTE.
+
+
+def _dot(a: str, b: str, spark_dialect: bool) -> str:
+    if spark_dialect:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            "cast(0.0 as double), (acc, p) -> acc + p)"
+        )
+    return f"list_dot_product({a}, {b})"
 
 
 def _p06(spark_dialect: bool) -> str:
@@ -31,14 +48,9 @@ def _p06(spark_dialect: bool) -> str:
     # vector-length expression (the dot product) per pair instead of
     # three.  Same association order as before, so cosines (and the
     # driver value hash) are bit-identical across both engines.
-    if spark_dialect:
-        v = "transform(embedding, x -> cast(x as double))"
-        norm_self = "aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x)"
-        dot = "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0.0 as double), (acc, p) -> acc + p)"
-    else:
-        v = "embedding::DOUBLE[]"
-        norm_self = "list_dot_product(v, v)"
-        dot = "list_dot_product(q.v, c.v)"
+    v = "transform(embedding, x -> cast(x as double))" if spark_dialect else "embedding::DOUBLE[]"
+    norm_self = _dot("v", "v", spark_dialect)
+    dot = _dot("q.v", "c.v", spark_dialect)
     cos = f"{dot} / sqrt(q.nrm * c.nrm)"
     return f"""
 WITH e AS (
@@ -86,8 +98,6 @@ def _p07(spark_dialect: bool) -> str:
             f"(acc, p) -> acc + if({plane_dot} >= 0, shiftleft(cast(1 as bigint), p), 0))"
         )
         v = "transform(embedding, x -> cast(x as double))"
-        norm_self = "aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x)"
-        dot = "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0.0 as double), (acc, p) -> acc + p)"
     else:
         coef = (
             "((" + md5int_duck("concat(p::VARCHAR, ':', d::VARCHAR)")
@@ -104,9 +114,9 @@ def _p07(spark_dialect: bool) -> str:
             f"(acc, x) -> acc + x)"
         )
         v = "embedding::DOUBLE[]"
-        norm_self = "list_dot_product(v, v)"
-        dot = "list_dot_product(q.v, c.v)"
     # per-vector self-norm precomputed alongside the bucket (see _p06)
+    norm_self = _dot("v", "v", spark_dialect)
+    dot = _dot("q.v", "c.v", spark_dialect)
     cos = f"{dot} / sqrt(q.nrm * c.nrm)"
     return f"""
 WITH e AS (
