@@ -67,6 +67,13 @@ def build_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Prefer shuffled-hash over sort-merge for non-broadcast equi-joins:
+        # the build side is hashed instead of BOTH sides being sorted, which
+        # measured 16-32% off the heavy TPC-H shapes at the 100x replica
+        # (q03 5.75s->3.91s, q05 7.38s->6.17s).  Safe at cluster scale on
+        # modern Spark: SHJ spills since 3.2, and AQE still upgrades to
+        # broadcast / splits skewed partitions first.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
