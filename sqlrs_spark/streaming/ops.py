@@ -441,3 +441,90 @@ def s06_stream_funnel(spark, sf_dir):
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_completion_update(result, "s06").orderBy("user_id")
+
+
+@register(
+    "s07_stream_stream_join",
+    # batch twin: every (view, click) pair for the same user with the
+    # click in (view_ts, view_ts + 30 min] — delay in exact microseconds
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS delay_us
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts
+     AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    ORDER BY view_id, click_id
+    """,
+    tags=("pipeline", "streaming"),
+)
+def s07_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream self-join: click-to-view attribution.
+    Views and clicks are two filtered arms of ONE events stream; a click
+    attributes to every view by the same user in the preceding 30 minutes.
+
+    This is the streaming join class s05 (stream-static) cannot cover:
+    BOTH sides arrive incrementally, so the engine must buffer each side's
+    rows in state until the other side's matches can no longer arrive.
+    The 1-hour watermarks plus the bounded time-range condition give
+    Spark exactly that bound — state evicts once the click watermark
+    passes view_ts + 30 min (Structured Streaming derives the eviction
+    predicate from the interval condition; without it, state grows
+    unboundedly).  INNER join emits matches eagerly, so the bounded
+    availableNow replay yields the complete deterministic pair set and a
+    full value oracle.
+
+    At scale: both arms hash-partition on user_id, so the join is
+    co-partitioned state lookup, not a shuffle per micro-batch; state
+    size ~ events within the watermark horizon per user.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = click_user AND click_ts > view_ts "
+            "AND click_ts <= view_ts + INTERVAL 30 MINUTES"
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("delay_us"),
+    )
+    name = f"s07_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    spark.catalog.dropTempView(name)
+    return result.orderBy("view_id", "click_id")
