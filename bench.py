@@ -68,11 +68,18 @@ def bench_spark(sf_dir: str, cpus: int | None = None, app: str = "sqlrs_spark_be
     specs = [s for s in all_specs().values() if s.bench]
     timings: dict[str, float] = {}
     for s in specs:
-        s.fn(spark, sf_dir).collect()  # warm
+        # Materialize via Arrow (df.toArrow) — the columnar batch transfer
+        # any real Python consumer of the engine uses, and the same
+        # result contract the DuckDB side is timed on (.arrow()).  Plain
+        # .collect() deserializes row-at-a-time through py4j and, for
+        # wide-output queries at scale, times the gateway instead of the
+        # engine (measured: t01's 500k-row output dominated its bench10x
+        # number).
+        s.fn(spark, sf_dir).toArrow()  # warm
         best, n = float("inf"), 0
         for _ in range(2):
             t0 = time.perf_counter()
-            n = len(s.fn(spark, sf_dir).collect())
+            n = s.fn(spark, sf_dir).toArrow().num_rows
             best = min(best, time.perf_counter() - t0)
         timings[s.name] = round(best, 4)
         print(f"# {s.name}: {best:.3f}s ({n} rows)", file=sys.stderr)
