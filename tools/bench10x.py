@@ -110,11 +110,13 @@ def bench_duckdb(specs, dst: str) -> dict[str, float]:
     for s in specs:
         if not s.oracle:
             continue
-        con.execute(s.oracle).fetchall()  # warm (I/O cache, plan)
+        # .arrow(): same columnar materialization contract the Spark side
+        # is timed on (df.toArrow)
+        con.execute(s.oracle).arrow()  # warm (I/O cache, plan)
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            con.execute(s.oracle).fetchall()
+            con.execute(s.oracle).arrow()
             best = min(best, time.perf_counter() - t0)
         timings[s.name] = round(best, 4)
         print(f"# duckdb {s.name}: {best:.3f}s", file=sys.stderr)
