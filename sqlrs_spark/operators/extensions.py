@@ -548,3 +548,61 @@ def x18_funnel(spark, sf_dir):
             )
         ).alias("purchased_after_click"),
     )
+
+
+@register(
+    "x19_running_windows",
+    # frame-based running aggregates; money-style DECIMAL discipline keeps
+    # the running sums exact and partition-order-free (operators/common
+    # dec2 rationale), so the driver value hash is stable
+    oracle="""
+    SELECT user_id,
+           event_id,
+           CAST(SUM(value::DECIMAL(18,4)) OVER w_run AS DOUBLE)   AS running_total,
+           CAST(SUM(value::DECIMAL(18,4)) OVER w_3 AS DOUBLE)
+             / COUNT(*) OVER w_3                                  AS moving_avg_3,
+           COUNT(*) OVER w_run                                    AS n_so_far,
+           CAST(MAX(value) OVER w_run AS DOUBLE)                  AS peak_value
+    FROM events
+    WINDOW
+      w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_3   AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    tags=("extension", "window"),
+)
+def x19_running_windows(spark, sf_dir):
+    """Frame-based running aggregates (§2.5 depth beyond rank windows):
+    per-user running total, 3-row moving average, running count and
+    running peak over event time — the cumulative/sliding-frame family
+    (ROWS BETWEEN) that x04's rank-style windows don't exercise.
+
+    Determinism: (ts, event_id) is a total order within each user, sums
+    run over DECIMAL(18,4) so the running values are exact at any
+    partitioning, and the moving average divides two exact quantities.
+    Scale: one shuffle on user_id, then a single sort per partition
+    serves all four frames (Catalyst collapses same-spec windows into
+    one Window operator).
+    """
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT user_id,
+               event_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w_run AS DOUBLE)
+                                                                 AS running_total,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w_3 AS DOUBLE)
+                 / COUNT(*) OVER w_3                             AS moving_avg_3,
+               COUNT(*) OVER w_run                               AS n_so_far,
+               CAST(MAX(value) OVER w_run AS DOUBLE)             AS peak_value
+        FROM events
+        WINDOW
+          w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_3   AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+        """
+    )

@@ -300,3 +300,58 @@ def v10_jsonl_roundtrip(spark, sf_dir):
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "v11_partitioned_write",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(value::DECIMAL(18,4)) AS DOUBLE) AS total_value,
+           CAST(MIN(event_id) AS BIGINT) AS first_id,
+           CAST(MAX(event_id) AS BIGINT) AS last_id
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("statement", "sink", "source"),
+)
+def v11_partitioned_write(spark, sf_dir):
+    """Hive-partitioned parquet sink → partition-pruned source round-trip.
+
+    Writes events partitioned by event_type (`.partitionBy` — the layout
+    every production table uses so predicates become directory pruning),
+    reads the directory back, and aggregates ONLY two partitions.  The
+    oracle computes the same aggregate over the original rows, so any
+    row lost/duplicated/mistyped by the partitioned round-trip fails the
+    value hash; test_plans asserts the read's PartitionFilters actually
+    prune (the scan must list 2 of 4 directories, not filter rows).
+
+    Scale: the write shuffles once on the partition column so each task
+    writes one directory (without the repartition, every task writes a
+    file into every partition — the classic small-files explosion at
+    1000 executors); the pruned read's cost is proportional to the
+    selected partitions, not the table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="sqlrs_part_"), "events")
+    (
+        ev.repartition("event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            F.min("event_id").alias("first_id"),
+            F.max("event_id").alias("last_id"),
+        )
+        .orderBy("event_type")
+    )

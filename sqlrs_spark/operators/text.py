@@ -418,3 +418,70 @@ def t08_quality_rules(spark, sf_dir):
     """
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_t08(True))
+
+
+# ---------------------------------------------------------------------------
+# p20 — TF-IDF-style distinctive terms per document (corpus-relative)
+# ---------------------------------------------------------------------------
+
+_P20_TOP_K = 5
+
+
+def _p20(spark_dialect: bool) -> str:
+    # Exact rational scoring: tf * N / df with integer tf, N, df.  tf*N
+    # stays far inside the 2^53 double-exact range and IEEE division is
+    # correctly rounded in both engines, so scores (and their ordering)
+    # are bit-identical cross-engine — no ln(), no float-sum order
+    # nondeterminism, which is what keeps this windowed top-k inside the
+    # driver's value-hash gate.
+    if spark_dialect:
+        tok_src = "LATERAL VIEW explode(split(text, ' ')) AS tok"
+    else:
+        tok_src = ", unnest(string_split(text, ' ')) AS u(tok)"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, tok FROM documents {tok_src}
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+),
+n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, tok, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM ranked WHERE rank <= {_P20_TOP_K}
+ORDER BY doc_id, rank
+"""
+
+
+@register("p20_tfidf_terms", oracle=_p20(False), tags=("pipeline", "text"))
+def p20_tfidf_terms(spark, sf_dir):
+    """Corpus-relative distinctive terms: per-document top-5 tokens by
+    tf x (N/df) — the inverse-document-frequency signal without the
+    logarithm (exact rational score, see _p20) so ranking is
+    deterministic across engines.
+
+    Scale shape: the classic two-statistic join — term frequencies
+    shuffle on (doc_id, tok), document frequencies on tok, then a single
+    equi-join on tok recombines them (partial aggregation makes the df
+    pass a map-side combine over distinct doc ids).  The per-doc top-k
+    is one window over the tf partition.  At 100 TB: vocabulary
+    cardinality, not corpus size, bounds the df side, and no stage
+    carries document text past the first explode.
+    """
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_p20(True))

@@ -75,6 +75,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "p17_decontaminate",
     "p18_ann_ivf_kmeans",
     "p19_rag_prep",
+    "p20_tfidf_terms",
     # text analysis (t01-t07)
     "t01_token_count",
     "t02_language_id",
@@ -99,7 +100,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "s07_stream_stream_join",
     # beyond-reference §2.5/§2.7/§2.8 families with no round-1 driver row
     "x03_set_ops",
-    "x04_window_topk",
+    # (x04_window_topk rotated out: §2.5 window evidence now rides p20's
+    # ROW_NUMBER top-k driver row; x04 keeps its local oracle test)
     "x05_expressions",
     # one representative per §2 family (re-verified, all green round 1)
     "q01_pricing_summary",  # §2.4 hash agg

@@ -293,3 +293,21 @@ def test_q36_single_key_pipeline(spark, sf_dir):
     assert "CartesianProduct" not in s
     assert "TakeOrderedAndProject" in s
     assert has_partial_agg(df)
+
+
+def test_v11_partition_pruning(spark, sf_dir):
+    # the partitioned round-trip must prune DIRECTORIES, not filter rows:
+    # the scan's PartitionFilters carry event_type and the file listing
+    # covers only the two selected partitions
+    df = SPECS["v11_partitioned_write"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "PartitionFilters" in s and "event_type" in s.split("PartitionFilters", 1)[1][:200], s[:2000]
+
+
+def test_x19_single_window_sort(spark, sf_dir):
+    # all four frame aggregates share one (user_id, ts, event_id) window
+    # spec -> Catalyst must plan ONE shuffle and at most two Window nodes
+    # (running + 3-row frames), not one per aggregate
+    df = SPECS["x19_running_windows"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert s.count("Window") <= 2, s[:2000]
