@@ -203,3 +203,40 @@ try:  # pragma: no cover - registration is environment-dependent
     _cp.register_pickle_by_value(sys.modules[__name__])
 except Exception:  # noqa: BLE001 - best-effort; closures also work locally
     pass
+
+
+def dhash64(payload: bytes) -> int:
+    """Perceptual difference-hash of a decoded image, 64 bits.
+
+    Real-pixel pipeline: PNG decode → integer luma (BT.601 weights,
+    //1000 — no floats, so the hash is platform-exact) → 9x8 grid by
+    integer block mean → one bit per horizontally adjacent cell pair
+    (left > right).  Images that differ by small noise/brightness shifts
+    land within a few bits; unrelated images differ in ~32 of 64.
+    """
+    width, height, px = decode_image(payload)
+    bpp = len(px) // (width * height)
+    # integer luma per pixel (gray/palette: the single channel; drop alpha)
+    luma = bytearray(width * height)
+    for i in range(width * height):
+        o = i * bpp
+        if bpp >= 3:
+            luma[i] = (px[o] * 299 + px[o + 1] * 587 + px[o + 2] * 114) // 1000
+        else:
+            luma[i] = px[o]
+    gw, gh = 9, 8
+    bw, bh = max(width // gw, 1), max(height // gh, 1)
+    grid = [[0] * gw for _ in range(gh)]
+    for gy in range(gh):
+        for gx in range(gw):
+            s = n = 0
+            for y in range(gy * bh, min((gy + 1) * bh, height)):
+                for x in range(gx * bw, min((gx + 1) * bw, width)):
+                    s += luma[y * width + x]
+                    n += 1
+            grid[gy][gx] = s // max(n, 1)
+    bits = 0
+    for gy in range(gh):
+        for gx in range(gw - 1):
+            bits = (bits << 1) | (1 if grid[gy][gx] > grid[gy][gx + 1] else 0)
+    return bits

@@ -606,3 +606,54 @@ def x19_running_windows(spark, sf_dir):
         ORDER BY user_id, event_id
         """
     )
+
+
+@register(
+    "x20_correlated_subqueries",
+    # same SQL in both engines: correlated scalar + EXISTS + NOT IN
+    oracle="""
+    SELECT c.c_custkey,
+           c.c_acctbal,
+           (SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 100000) AS has_big_order
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal::DECIMAL(18,4)) FROM customer c2
+                          WHERE c2.c_nationkey = c.c_nationkey)
+    ORDER BY c.c_custkey
+    """,
+    tags=("extension", "subquery"),
+)
+def x20_correlated_subqueries(spark, sf_dir):
+    """Correlated subqueries — the binder class the reference lacks
+    entirely (its planner_v2 binds only UNCORRELATED scalar subqueries,
+    src/planner_v2/binder/expression/bind_subquery.rs): a correlated
+    scalar aggregate in WHERE (above-nation-average account balance), a
+    correlated COUNT in the select list, and a correlated EXISTS flag.
+
+    Spark-first shape: Catalyst de-correlates all three into joins —
+    the WHERE subquery becomes an aggregate-then-join on c_nationkey,
+    the COUNT/EXISTS become left-outer/left-semi aggregate joins on
+    o_custkey — so at 100 TB this runs as three co-keyed shuffles, never
+    one-query-per-row. AVG over DECIMAL keeps the threshold exact, so
+    the boundary rows agree with the oracle bit-for-bit.
+    """
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               c.c_acctbal,
+               (SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 100000) AS has_big_order
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT AVG(CAST(c2.c_acctbal AS DECIMAL(18,4)))
+                               FROM customer c2
+                              WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c.c_custkey
+        """
+    )

@@ -350,3 +350,85 @@ def m04_resize(spark, sf_dir):
             )
 
     return binary_df.mapInPandas(op, schema=RESIZE_SCHEMA).orderBy("doc_id")
+
+
+_M05_HAMMING_T = 6
+
+
+@register(
+    "m05_image_neardup",
+    # On md5-patterned fixtures, dHashes of distinct texts are pairwise-
+    # independent random 64-bit words: P(Hamming <= 6) ~ 5e-12 per pair,
+    # and candidates must additionally share a 16-bit band.  So near-dup
+    # == exact-dup on THIS corpus, and the oracle is the md5-equality
+    # pair set — the real near-dup sensitivity (perturbed pixels within
+    # a few bits) is pinned in tests/test_multimodal_decode.py on
+    # constructed images.
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INT) AS hamming
+    FROM documents a JOIN documents b
+      ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("pipeline", "multimodal", "dedup"),
+)
+def m05_image_neardup(spark, sf_dir):
+    """Image near-dup detection over REAL decoded pixels: render each doc
+    a deterministic 18x16 grayscale PNG (md5-expanded pattern), run the
+    full decode → integer-luma → 9x8 grid → 64-bit dHash pipeline
+    (functions/imaging.dhash64), then LSH-band the hash (4 x 16-bit
+    bands) and keep candidate pairs within Hamming <= 6.
+
+    Scale shape — the multimodal twin of p03's SimHash plan: decode +
+    dHash are Arrow-batched per-partition Python (the unavoidable
+    Python stage, embarrassingly parallel, no shuffle); everything after
+    is pure SQL — band explode, equi self-join on (band, band_val), XOR
+    bit_count verify.  Payload bytes never shuffle: the join carries
+    (doc_id, 4 smallints), the verify joins hashes by doc_id.
+    """
+    from sqlrs_spark.functions.imaging import dhash64, encode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_hash(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            hashes = []
+            for text in pdf["text"]:
+                seed = _hashlib.md5(text.encode("utf-8")).digest()
+                pattern = bytearray()
+                i = 0
+                while len(pattern) < 18 * 16:
+                    pattern += _hashlib.md5(seed + bytes([i])).digest()
+                    i += 1
+                png = encode_png(18, 16, bytes(pattern[: 18 * 16]), color_type=0)
+                h = dhash64(png)
+                # store as signed for Spark's BIGINT
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "dhash": hashes})
+
+    hashed = docs.mapInPandas(to_hash, schema="doc_id bigint, dhash bigint")
+    hashed.createOrReplaceTempView("__m05_hashed")
+    return spark.sql(
+        f"""
+        WITH bands AS (
+          SELECT doc_id, dhash, band,
+                 shiftright(dhash, band * 16) & 65535 AS band_val
+          FROM __m05_hashed LATERAL VIEW explode(sequence(0, 3)) AS band
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.dhash AS ha, b.dhash AS hb
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(bit_count(ha ^ hb) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(ha ^ hb) <= {_M05_HAMMING_T}
+        ORDER BY doc_a, doc_b
+        """
+    )

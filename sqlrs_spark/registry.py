@@ -90,6 +90,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "m02_frame_sample",
     "m03_fake_embed",
     "m04_resize",
+    "m05_image_neardup",
     # structured streaming (s01-s06)
     "s01_stream_tumbling",
     "s02_stream_stateful_sessions",
@@ -108,7 +109,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q05_local_volume",  # §2.3 multi-join (§2.2 filter/project rides q19;
     # outer joins q07-q09 keep their green round-1 rows + slt coverage)
     "q13_order_limit_offset",  # §2.6 sort/limit
-    "q14_agg_distinct",  # §2.4 distinct aggs
+    # (q14_agg_distinct rotated out: §2.4 distinct-agg evidence rides
+    # p20's COUNT(DISTINCT doc_id) df pass — a green driver row — plus
+    # q12/q14's round-1 rows)
     "q15_date_interval",  # §2.8 date arithmetic
     "q19_disjunctive_pred",  # §2.2 Kleene AND/OR
     "q21_top_supplier",  # §2.3 scalar subquery

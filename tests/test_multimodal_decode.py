@@ -183,3 +183,55 @@ def test_extract_meta_real_on_spark(spark):
     )
     assert got[1]["byte_len"] == len(png)
     assert got[1]["magic"] == png[:4].hex()
+
+
+class TestDHash:
+    """dhash64 sensitivity: the near-dup property m05's corpus oracle
+    cannot show (md5 patterns are only ever identical or unrelated)."""
+
+    def _noise_png(self, seed: int, w=36, h=32):
+        import hashlib
+
+        from sqlrs_spark.functions.imaging import encode_png
+
+        pattern = bytearray()
+        i = 0
+        while len(pattern) < w * h:
+            pattern += hashlib.md5(seed.to_bytes(4, "big") + bytes([i])).digest()
+            i += 1
+        return encode_png(w, h, bytes(pattern[: w * h]), color_type=0), bytes(
+            pattern[: w * h]
+        )
+
+    def test_identical_images_hash_equal(self):
+        from sqlrs_spark.functions.imaging import dhash64
+
+        png, _ = self._noise_png(1)
+        assert dhash64(png) == dhash64(png)
+
+    def test_small_perturbation_stays_near(self):
+        import hashlib
+
+        from sqlrs_spark.functions.imaging import dhash64, encode_png
+
+        png, pixels = self._noise_png(2, 36, 32)
+        base = dhash64(png)
+        # brightness shift +3 on every pixel: grid ORDERING is unchanged,
+        # so the hash must be identical
+        shifted = bytes(min(p + 3, 255) for p in pixels)
+        assert dhash64(encode_png(36, 32, shifted, color_type=0)) == base
+        # a few corrupted pixels: only the touched grid cells can flip
+        noisy = bytearray(pixels)
+        for k in range(5):
+            pos = int(hashlib.md5(bytes([k])).hexdigest()[:4], 16) % len(noisy)
+            noisy[pos] = 255 - noisy[pos]
+        ham = bin(base ^ dhash64(encode_png(36, 32, bytes(noisy), color_type=0))).count("1")
+        assert ham <= 10, ham
+
+    def test_unrelated_images_hash_far(self):
+        from sqlrs_spark.functions.imaging import dhash64
+
+        a, _ = self._noise_png(3)
+        b, _ = self._noise_png(4)
+        ham = bin(dhash64(a) ^ dhash64(b)).count("1")
+        assert ham > 12, ham
