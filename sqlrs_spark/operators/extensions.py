@@ -657,3 +657,77 @@ def x20_correlated_subqueries(spark, sf_dir):
         ORDER BY c.c_custkey
         """
     )
+
+
+_X21_SQL = """
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS pk, p_partkey AS node, 0 AS depth
+  FROM part WHERE p_partkey < 1000
+  UNION ALL
+  SELECT pk, CAST(floor(node / 10) AS BIGINT) AS node, depth + 1 AS depth
+  FROM anc WHERE node > 0
+)
+SELECT pk AS p_partkey,
+       CAST(MAX(depth) AS INT) AS depth_to_root,
+       COUNT(*) AS n_chain_nodes
+FROM anc
+GROUP BY pk
+ORDER BY pk
+"""
+
+
+@register(
+    "x21_recursive_cte",
+    oracle=_X21_SQL,
+    tags=("extension", "recursion"),
+)
+def x21_recursive_cte(spark, sf_dir):
+    """Native WITH RECURSIVE (Spark 4's recursive CTE support): ancestor
+    chains over a derived decimal-digit hierarchy (parent = floor(key/10)),
+    per-key depth and chain length.  The reference has no recursion at
+    all; p09's connected components covers the iterative-driver-loop
+    pattern — this covers the declarative form, byte-identical SQL in
+    both engines.
+
+    Scale: each recursion step is one self-union Spark materializes
+    iteratively (same shape as p09's loop but planner-managed); the seed
+    predicate prunes at the scan, and termination is structural
+    (node > 0 strictly shrinks).  Depth is log10(key) — 4 steps here.
+    """
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(_X21_SQL)
+
+
+# comma-LATERAL: the join form both engines parse (DuckDB's JOIN LATERAL
+# requires ON; Spark's takes none — `, LATERAL` is inner-cross in both)
+_X22_SQL = """
+SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) l
+WHERE c.c_custkey < 500
+ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey
+"""
+
+
+@register(
+    "x22_lateral_topn",
+    oracle=_X22_SQL,
+    tags=("extension", "subquery"),
+)
+def x22_lateral_topn(spark, sf_dir):
+    """LATERAL correlated subquery: top-2 orders by value per customer —
+    the per-row-subquery formulation of top-n-per-group (the window
+    formulation is x04).  Byte-identical SQL in both engines; ties break
+    on o_orderkey so the pair set is deterministic.
+
+    Scale: Catalyst de-correlates the lateral into a ranked join on
+    o_custkey — one shuffle each side, no per-row execution; the LIMIT
+    inside the lateral becomes a per-group top-k, not a global one.
+    """
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_X22_SQL)
