@@ -731,3 +731,37 @@ def x22_lateral_topn(spark, sf_dir):
     """
     register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_X22_SQL)
+
+
+_X23_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)      AS sum_disc
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, val
+FROM wide UNPIVOT (val FOR metric IN (sum_qty, sum_price, sum_disc))
+ORDER BY l_returnflag, metric
+"""
+
+
+@register(
+    "x23_unpivot",
+    oracle=_X23_SQL,
+    tags=("extension", "reshape"),
+)
+def x23_unpivot(spark, sf_dir):
+    """UNPIVOT — wide-to-long reshape, the inverse of x08's pivot:
+    per-returnflag decimal-exact sums unpivoted into (metric, val) rows.
+    SQL-standard syntax parses byte-identically in both engines.
+
+    Scale: UNPIVOT is an Expand projection (k output rows per input row,
+    no shuffle) over an already-aggregated frame — the reshape itself
+    adds zero exchanges; the only shuffle is the upstream partial/final
+    aggregation.
+    """
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_X23_SQL)
