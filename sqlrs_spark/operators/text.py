@@ -14,9 +14,11 @@ for the cross-engine determinism argument).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from sqlrs_spark.functions.hashing import P31, h31_duck, h31_spark
 from sqlrs_spark.registry import register
-from sqlrs_spark.sources.tables import register_views
+from sqlrs_spark.sources.tables import load_table, register_views
 
 # words-per-language scoring lists (tiny built-in stopword lists; a real
 # pipeline would ship larger lists — the plan shape is identical)
@@ -485,3 +487,95 @@ def p20_tfidf_terms(spark, sf_dir):
     """
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_p20(True))
+
+
+# ---------------------------------------------------------------------------
+# t09 — unicode normalization / cleaning (the one text op that needs Python)
+# ---------------------------------------------------------------------------
+
+# Shared cleaning contract, mirrored exactly in both engines:
+#   1. NFC normalize (Python unicodedata <-> DuckDB nfc_normalize — both
+#      implement Unicode NFC; agreement spot-checked on composed/
+#      decomposed/ligature/fullwidth cases in tests)
+#   2. strip control chars + zero-width space + BOM
+#   3. collapse ASCII whitespace runs to one space, trim spaces
+_T09_CTRL_PY = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f​﻿]"
+_T09_CTRL_DUCK = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}\x{FEFF}]"
+_T09_WS = "[ \\t\\n\\r]+"
+
+
+def _t09_clean_py(s):
+    import re
+    import unicodedata
+
+    s = unicodedata.normalize("NFC", s)
+    s = re.sub(_T09_CTRL_PY, "", s)
+    s = re.sub("[ \t\n\r]+", " ", s)
+    return s.strip(" ")
+
+
+def _t09_oracle() -> str:
+    clean = (
+        "trim(regexp_replace(regexp_replace(nfc_normalize(text), "
+        f"'{_T09_CTRL_DUCK}', '', 'g'), '{_T09_WS}', ' ', 'g'), ' ')"
+    )
+    return f"""
+WITH cleaned AS (
+  SELECT doc_id, text, {clean} AS ctext FROM documents
+)
+SELECT doc_id,
+       CAST(length(ctext) AS BIGINT) AS n_chars_clean,
+       {h31_duck("ctext")} AS clean_digest,
+       ctext <> text AS changed
+FROM cleaned
+ORDER BY doc_id
+"""
+
+
+@register("t09_unicode_clean", oracle=_t09_oracle(), tags=("pipeline", "text"))
+def t09_unicode_clean(spark, sf_dir):
+    """Unicode normalization + cleaning: NFC, control/zero-width/BOM strip,
+    whitespace collapse — the canonicalization pass a corpus runs before
+    tokenization/dedup so visually-identical documents hash identically.
+
+    This is the ONE text operator that genuinely needs Python (Spark has
+    no NFC builtin; ICU lives outside the JVM expression library), so it
+    rides an Arrow-batched pandas UDF — the documented slow-path shape:
+    column batches cross the boundary, everything around the UDF (digest,
+    lengths, compare, sort) stays codegen'd JVM. The DuckDB oracle runs
+    the identical three-step contract via utf8proc's nfc_normalize, so
+    the value hash proves the two Unicode implementations agree on the
+    corpus; adversarial composed/decomposed/ligature cases are pinned in
+    tests/test_unicode_robustness.py.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def clean_udf(s: pd.Series) -> pd.Series:
+        import re
+        import unicodedata
+
+        ctrl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f​﻿]")
+        ws = re.compile("[ \t\n\r]+")
+
+        def one(x):
+            x = unicodedata.normalize("NFC", x)
+            x = ctrl.sub("", x)
+            x = ws.sub(" ", x)
+            return x.strip(" ")
+
+        return s.map(one)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cleaned = docs.select("doc_id", "text", clean_udf("text").alias("ctext"))
+    cleaned.createOrReplaceTempView("__t09_cleaned")
+    return spark.sql(
+        f"""
+        SELECT doc_id,
+               CAST(length(ctext) AS BIGINT) AS n_chars_clean,
+               {h31_spark("ctext")} AS clean_digest,
+               ctext <> text AS changed
+        FROM __t09_cleaned
+        ORDER BY doc_id
+        """
+    )

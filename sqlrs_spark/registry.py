@@ -85,6 +85,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t06_repetition",
     "t07_pattern_scrub",
     "t08_quality_rules",
+    "t09_unicode_clean",
     # multimodal plumbing (m01-m04)
     "m01_multimodal_meta",
     "m02_frame_sample",
@@ -114,7 +115,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # q12/q14's round-1 rows)
     "q15_date_interval",  # §2.8 date arithmetic
     "q19_disjunctive_pred",  # §2.2 Kleene AND/OR
-    "q21_top_supplier",  # §2.3 scalar subquery
+    # (q21_top_supplier rotated out: uncorrelated scalar subqueries carried
+    # FIVE green round-1 rows — q11/q21/q26/q29/q31)
     "v03_ddl_roundtrip",  # §2.1 DDL/INSERT/seq scan
 )
 

@@ -96,3 +96,54 @@ def test_op_matches_oracle_on_adversarial_text(spark, unicode_dir, unicode_duck,
     spec = SPECS[name]
     ok, msg = compare(spec.fn(spark, unicode_dir), unicode_duck, spec.oracle)
     assert ok, f"{name}: {msg}"
+
+
+class TestT09UnicodeClean:
+    """t09's cleaning contract on adversarial inputs, differentially:
+    the same dirty strings through the Spark pandas-UDF path AND the
+    DuckDB nfc_normalize oracle must produce identical cleaned text."""
+
+    CASES = [
+        "café composed?",        # decomposed e + combining acute -> é
+        "﻿BOM lead",               # BOM stripped
+        "zero​width",              # ZWSP stripped
+        "tab\tand\nnewline  runs",      # whitespace collapse
+        "\x07control\x1fchars\x7f",     # control strip
+        "ﬁ ligature ｆｕｌｌwidth",      # NFC keeps compatibility chars
+        "  edge  spaces  ",
+    ]
+
+    def test_cross_engine_clean_agreement(self, spark):
+        import duckdb
+
+        from sqlrs_spark.operators.text import _t09_clean_py, _t09_oracle
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        for i, c in enumerate(self.CASES):
+            con.execute("INSERT INTO documents VALUES (?, ?)", [i, c])
+        oracle_rows = con.execute(_t09_oracle()).fetchall()
+
+        sdf = spark.createDataFrame(
+            list(enumerate(self.CASES)), "doc_id long, text string"
+        )
+        sdf.createOrReplaceTempView("__t09_adv")
+        py_clean = [_t09_clean_py(c) for c in self.CASES]
+        # python contract == duckdb contract (length + digest + changed)
+        from sqlrs_spark.functions.hashing import P31
+        import hashlib
+
+        for (doc_id, n, dig, changed), cleaned, raw in zip(
+            oracle_rows, py_clean, self.CASES
+        ):
+            assert n == len(cleaned), (raw, cleaned)
+            exp = int(hashlib.md5(cleaned.encode()).hexdigest()[:15], 16) % P31
+            assert dig == exp, (raw, cleaned)
+            assert changed == (cleaned != raw)
+
+    def test_clean_idempotent(self):
+        from sqlrs_spark.operators.text import _t09_clean_py
+
+        for c in self.CASES:
+            once = _t09_clean_py(c)
+            assert _t09_clean_py(once) == once
