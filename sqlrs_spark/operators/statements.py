@@ -355,3 +355,43 @@ def v11_partitioned_write(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "v12_orc_roundtrip",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM({h31_duck('text')}) AS BIGINT) AS text_digest
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("statement", "orc", "source"),
+)
+def v12_orc_roundtrip(spark, sf_dir):
+    """ORC sink → source round-trip: the second JVM-native columnar format
+    next to parquet (a user migrating Hive/Trino data arrives with ORC).
+    Writes documents to ORC, reads back, aggregates a content digest;
+    the oracle computes the identical digest over the ORIGINAL parquet
+    rows, so any value mangled by the ORC writer/reader path (string
+    encoding, nulls, column order) breaks the hash.
+
+    Scale: ORC write is partition-parallel (no shuffle); the read's
+    predicate/column pushdown matches parquet's (both are Spark
+    DataSource v1 columnar scans with min/max stripe stats).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="sqlrs_orc_"), "docs")
+    docs.write.mode("overwrite").orc(out_dir)
+    back = spark.read.orc(out_dir)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+            F.sum(F.expr(h31_spark("text"))).alias("text_digest"),
+        )
+        .orderBy("source")
+    )
