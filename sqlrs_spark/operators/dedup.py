@@ -677,3 +677,83 @@ def p17_decontaminate(spark, sf_dir):
     """
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_p17(True))
+
+
+
+# ---------------------------------------------------------------------------
+# p21 — fuzzy vocabulary join (edit distance <= 2, SymSpell-style blocking)
+# ---------------------------------------------------------------------------
+
+
+def _p21(spark_dialect: bool) -> str:
+    # SymSpell symmetric-delete blocking: keys(tok) = tok plus every
+    # deletion of up to TWO characters; two tokens within Levenshtein
+    # distance 2 always share a key (deletes up to depth d on both sides
+    # are a complete candidate generator for distance <= d), so the key
+    # equi-join never misses and the O(len^2) levenshtein runs only on
+    # candidates.  Key count is ~len^2/2 per DISTINCT token — vocabulary-
+    # bounded, not corpus-bounded.
+    if spark_dialect:
+        del1 = "transform(sequence(1, length(tok)), i -> concat(substr(tok, 1, i - 1), substr(tok, i + 1)))"
+        del2 = (
+            "flatten(transform(sequence(1, length(tok)), i -> "
+            "transform(sequence(i + 1, length(tok)), j -> "
+            "concat(substr(tok, 1, i - 1), substr(tok, i + 1, j - i - 1), substr(tok, j + 1)))))"
+        )
+        variants = f"array_distinct(concat(array(tok), {del1}, if(length(tok) >= 2, {del2}, array())))"
+        vocab = (
+            "SELECT tok, COUNT(DISTINCT doc_id) AS df FROM documents "
+            "LATERAL VIEW explode(array_distinct(split(text, ' '))) AS tok GROUP BY tok"
+        )
+        keys = f"SELECT tok, df, key FROM vocab LATERAL VIEW explode({variants}) AS key"
+    else:
+        del1 = "list_transform(range(1, length(tok) + 1), i -> substr(tok, 1, i - 1) || substr(tok, i + 1))"
+        del2 = (
+            "flatten(list_transform(range(1, length(tok) + 1), i -> "
+            "list_transform(range(i + 1, length(tok) + 1), j -> "
+            "substr(tok, 1, i - 1) || substr(tok, i + 1, j - i - 1) || substr(tok, j + 1))))"
+        )
+        variants = (
+            f"list_distinct(list_concat(list_concat([tok], {del1}), "
+            f"CASE WHEN length(tok) >= 2 THEN {del2} ELSE [] END))"
+        )
+        vocab = (
+            "SELECT tok, COUNT(DISTINCT doc_id) AS df FROM documents, "
+            "unnest(list_distinct(string_split(text, ' '))) AS u(tok) GROUP BY tok"
+        )
+        keys = f"SELECT tok, df, key FROM vocab, unnest({variants}) AS k(key)"
+    return f"""
+WITH vocab AS ({vocab}),
+keys AS ({keys}),
+cand AS (
+  SELECT DISTINCT a.tok AS tok_a, a.df AS df_a, b.tok AS tok_b, b.df AS df_b
+  FROM keys a JOIN keys b ON a.key = b.key AND a.tok < b.tok
+)
+SELECT tok_a, tok_b,
+       CAST(levenshtein(tok_a, tok_b) AS INT) AS dist,
+       CAST(df_a AS BIGINT) AS df_a,
+       CAST(df_b AS BIGINT) AS df_b
+FROM cand
+WHERE levenshtein(tok_a, tok_b) <= 2
+ORDER BY tok_a, tok_b
+"""
+
+
+@register("p21_fuzzy_vocab", oracle=_p21(False), tags=("pipeline", "dedup"))
+def p21_fuzzy_vocab(spark, sf_dir):
+    """Fuzzy vocabulary pairs: tokens within Levenshtein distance 2 plus
+    their document frequencies — the typo/variant detection pass (OCR
+    noise, inflections) that exact-token dedup and MinHash both miss.
+
+    Scale shape: SymSpell symmetric-delete blocking — the corpus shuffles
+    once to the DISTINCT vocabulary (with per-token df as a free partial
+    agg), each vocab token expands map-side to ~len^2/2 deletion keys,
+    candidates come from a single key equi-join (complete for distance
+    <= 2 by the symmetric-delete property), and the expensive
+    levenshtein verify touches candidates only.  Everything downstream
+    of the first vocab aggregation is vocabulary-bounded, independent of
+    corpus row count — the property that makes fuzzy matching viable at
+    100 TB where all-pairs token comparison cannot be.
+    """
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_p21(True))

@@ -76,6 +76,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "p18_ann_ivf_kmeans",
     "p19_rag_prep",
     "p20_tfidf_terms",
+    "p21_fuzzy_vocab",
     # text analysis (t01-t07)
     "t01_token_count",
     "t02_language_id",
@@ -109,7 +110,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q01_pricing_summary",  # §2.4 hash agg
     "q05_local_volume",  # §2.3 multi-join (§2.2 filter/project rides q19;
     # outer joins q07-q09 keep their green round-1 rows + slt coverage)
-    "q13_order_limit_offset",  # §2.6 sort/limit
+    # (q13_order_limit_offset rotated out: §2.6 evidence rides q03/q20's
+    # round-1 green rows + test_plans::test_topk_fuses_to_take_ordered)
     # (q14_agg_distinct rotated out: §2.4 distinct-agg evidence rides
     # p20's COUNT(DISTINCT doc_id) df pass — a green driver row — plus
     # q12/q14's round-1 rows)
