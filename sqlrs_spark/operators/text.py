@@ -470,7 +470,7 @@ ORDER BY doc_id, rank
 """
 
 
-@register("p20_tfidf_terms", oracle=_p20(False), tags=("pipeline", "text"))
+@register("p20_tfidf_terms", oracle=_p20(False), tags=("pipeline", "text"), bench=True)
 def p20_tfidf_terms(spark, sf_dir):
     """Corpus-relative distinctive terms: per-document top-5 tokens by
     tf x (N/df) — the inverse-document-frequency signal without the
@@ -532,7 +532,7 @@ ORDER BY doc_id
 """
 
 
-@register("t09_unicode_clean", oracle=_t09_oracle(), tags=("pipeline", "text"))
+@register("t09_unicode_clean", oracle=_t09_oracle(), tags=("pipeline", "text"), bench=True)
 def t09_unicode_clean(spark, sf_dir):
     """Unicode normalization + cleaning: NFC, control/zero-width/BOM strip,
     whitespace collapse — the canonicalization pass a corpus runs before
