@@ -113,8 +113,10 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
 
 
 _COPY_RE = re.compile(
+    # opts may hold quoted values containing ')' — e.g. DELIMITER ')' —
+    # so the option body consumes quoted spans atomically
     r"^\s*COPY\s+(?P<table>[A-Za-z_][\w.]*)\s+FROM\s+'(?P<path>[^']+)'"
-    r"(?:\s*\(\s*(?P<opts>[^)]*)\))?\s*;?\s*$",
+    r"(?:\s*\(\s*(?P<opts>(?:'[^']*'|[^)'])*)\))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _READ_CSV_RE = re.compile(

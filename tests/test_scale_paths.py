@@ -171,3 +171,26 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
         for k, v in saved.items():
             if v is not None:
                 conf.set(k, v)
+
+
+def test_cache_table_serves_from_memory(spark, sf_dir):
+    """CACHE TABLE surface: a cached view plans as InMemoryTableScan and
+    returns identical results — the reuse story for iterative pipelines
+    (p09/p18 style loops re-read their inputs every pass)."""
+    from sqlrs_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("nation",))
+    spark.sql("CACHE TABLE nation")
+    try:
+        assert spark.catalog.isCached("nation")
+        plan = (
+            spark.sql("SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey")
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "InMemoryRelation" in plan
+        rows = spark.sql(
+            "SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"
+        ).collect()
+        assert sum(r.n for r in rows) == 25
+    finally:
+        spark.sql("UNCACHE TABLE nation")

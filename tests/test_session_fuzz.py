@@ -157,3 +157,13 @@ def test_offset_limit_swap_still_works(session):
     )
     got = session.sql("select n from fuzz_n order by n offset 1 limit 2").collect()
     assert [r.n for r in got] == [2, 3]
+
+
+def test_copy_options_with_quoted_paren(session, tmp_path):
+    p = tmp_path / "paren.csv"
+    p.write_text("id)name\n1)ada\n2)lin\n")
+    session.spark.sql("CREATE OR REPLACE TEMP VIEW __cp_schema AS SELECT 1")
+    session.sql("create table cp_paren (id int, name string)")
+    session.sql(f"COPY cp_paren FROM '{p}' (DELIMITER ')', HEADER)")
+    got = [tuple(r) for r in session.sql("select * from cp_paren order by id").collect()]
+    assert got == [(1, "ada"), (2, "lin")]
