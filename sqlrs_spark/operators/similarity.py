@@ -29,8 +29,12 @@ _DIM = 64  # embedding dimensionality (TESTDATA.md)
 # + ...` expression was measured and REJECTED — it tripled p06's time at the
 # 100x replica (3.0s -> 9.9s; the 128-call expression overflows the codegen
 # method-size limits and the whole projection falls back to interpreted).
-# The sequential `aggregate(zip_with(...))` fold below stays, with the one
-# structural win kept: per-vector self-norms precomputed in the `e` CTE.
+# The sequential `aggregate(zip_with(...))` fold stays for the SQL-shaped
+# variants (p07/p08/p15), with the one structural win kept: per-vector
+# self-norms precomputed in the `e` CTE.  p06 itself — the one variant that
+# scores EVERY query×corpus pair — moved to an Arrow-batched numpy kernel
+# (see p06_ann_bruteforce): interpreted HOF folds were 30x DuckDB at the
+# 100x replica, the single worst ratio in BENCH100X_r02.
 
 
 def _dot(a: str, b: str, spark_dialect: bool) -> str:
@@ -75,10 +79,85 @@ ORDER BY query_id, rank
 
 @register("p06_ann_bruteforce", oracle=_p06(False), tags=("pipeline", "similarity"), bench=True)
 def p06_ann_bruteforce(spark, sf_dir):
-    """Exact cosine top-k: query set × corpus, windowed rank per query.
-    Deterministic ties broken by neighbor_id."""
+    """Exact cosine top-k: bounded query set broadcast against the corpus,
+    scored partition-locally with an Arrow-batched numpy kernel, top-k
+    pre-reduced per batch, final rank over candidates only.
+
+    Scale design (this is the exact baseline the bucketed variants
+    p07/p08/p15/p18 approximate, so its cost is inherently O(|Q|·|corpus|)
+    — the job here is making that product cheap and shuffle-free):
+    - The query set is BOUNDED by contract (vec_id < 10) → collected once
+      on the driver (10 rows, same discipline as p18's centroid
+      broadcast) and closed over by the kernel; the corpus never moves.
+    - Scoring runs in ``mapInPandas``: one numpy broadcast-multiply +
+      row-wise cumulative sum per (query, batch).  numpy's ``cumsum`` is
+      a strict left-to-right fold, and the elementwise product / sqrt /
+      divide are single IEEE ops, so every cosine is BIT-IDENTICAL to the
+      previous `aggregate(zip_with(...))` SQL fold and to DuckDB's
+      `list_dot_product` — the driver value hash is unchanged.  Measured
+      at the 100x replica: 3.9s (interpreted HOF fold) → ~0.5s.
+    - Each batch emits only its local top-k per query (global top-k is a
+      top-k of per-batch top-ks; ties broken by neighbor_id in the batch
+      selection AND the final window, so the reduction is lossless).
+      The final ROW_NUMBER window therefore ranks ≤ k·batches·|Q| rows —
+      at 1000 executors the shuffle carries a few thousand candidate
+      rows, not the 5M scored pairs.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     register_views(spark, sf_dir, ("embeddings",))
-    return spark.sql(_p06(True))
+    corpus = spark.sql(
+        "SELECT vec_id, transform(embedding, x -> cast(x as double)) AS v FROM embeddings"
+    )
+    qrows = sorted(
+        corpus.filter(F.col("vec_id") < _N_QUERIES).collect(), key=lambda r: r.vec_id
+    )
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([r.v for r in qrows], dtype=np.float64)  # (|Q|, 64)
+    qnrm = np.cumsum(Q * Q, axis=1)[:, -1] if len(qrows) else np.zeros(0)
+    k = _TOP_K
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["v"].to_numpy())  # (B, dim)
+            ids = pdf["vec_id"].to_numpy()
+            nrm = np.cumsum(V * V, axis=1)[:, -1]
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(qids)):
+                # sequential fold ≡ SQL aggregate(zip_with(...)) bit-for-bit
+                dots = np.cumsum(V * Q[qi], axis=1)[:, -1]
+                cos = dots / np.sqrt(qnrm[qi] * nrm)
+                mask = ids != qids[qi]
+                c, n = cos[mask], ids[mask]
+                # batch-local top-k, same (cosine DESC, neighbor_id ASC)
+                # order as the final window (float64 negation is exact)
+                order = np.lexsort((n, -c))[:k]
+                out_q.append(np.full(len(order), qids[qi]))
+                out_n.append(n[order])
+                out_c.append(c[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    scored = corpus.mapInPandas(
+        score, schema="query_id bigint, neighbor_id bigint, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
 
 
 def _p07(spark_dialect: bool) -> str:
