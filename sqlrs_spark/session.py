@@ -309,10 +309,18 @@ class Session:
     # -- catalog table functions --------------------------------------------
 
     def sqlrs_tables(self) -> DataFrame:
-        """(schema_name, schema_oid, table_name, table_oid) like the reference."""
+        """(schema_name, schema_oid, table_name, table_oid) like the reference.
+
+        Internal scratch views (``__sqlrs_*``: COPY staging, read_csv
+        rewrites, catalog-function snapshots) are implementation artifacts
+        of the SQL frontend, not user tables — the reference catalog has
+        no counterpart for them, so they are hidden here and in
+        sqlrs_columns().
+        """
         rows = [
             (t.namespace[0] if t.namespace else "main", 0, t.name, i)
             for i, t in enumerate(self.spark.catalog.listTables())
+            if not t.name.startswith("__sqlrs_")
         ]
         return self.spark.createDataFrame(
             rows or [("main", 0, "", -1)],
@@ -323,6 +331,8 @@ class Session:
         rows = []
         for t in self.spark.catalog.listTables():
             if table and t.name != table:
+                continue
+            if t.name.startswith("__sqlrs_"):
                 continue
             for c in self.spark.catalog.listColumns(t.name):
                 rows.append((t.name, c.name, c.dataType, c.nullable))
