@@ -765,3 +765,35 @@ def x23_unpivot(spark, sf_dir):
     """
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_X23_SQL)
+
+
+_X24_SQL = """
+SELECT c_nationkey, c_custkey,
+       round(percent_rank() OVER w, 9) AS bal_pct_rank,
+       round(cume_dist()    OVER w, 9) AS bal_cume_dist,
+       ntile(4)             OVER w     AS bal_quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+ORDER BY c_nationkey, c_custkey
+"""
+
+
+@register(
+    "x24_dist_windows",
+    oracle=_X24_SQL,
+    tags=("extension", "window"),
+)
+def x24_dist_windows(spark, sf_dir):
+    """Distribution window functions — percent_rank / cume_dist / ntile —
+    rounding out the §2.5 window family beyond rank top-k (x04) and
+    frame-based running aggregates (x19).  The named-WINDOW SQL parses
+    byte-identically in both engines; (c_acctbal, c_custkey) is a total
+    order so every rank — and the (rank-1)/(n-1) divisions behind
+    percent_rank/cume_dist — is deterministic and bit-identical.
+
+    Scale: one shuffle on the partition key (nation), one sort within
+    partitions; all three functions evaluate in the same window pass, and
+    skewed nations split under AQE like any other sort.
+    """
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_X24_SQL)

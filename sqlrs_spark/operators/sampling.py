@@ -184,3 +184,77 @@ def p14_domain_mix(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("mixed_chars"))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# p22 — temperature-scaled source mixing (alpha = 0.5)
+# ---------------------------------------------------------------------------
+
+_P22_BUDGET = 60_000  # total char budget for the mixed corpus
+
+
+def _p22(spark_dialect: bool) -> str:
+    # alpha = 0.5 exactly, i.e. weight = sqrt(chars): sqrt is a correctly-
+    # rounded IEEE-754 op in both engines, unlike pow(x, 0.7), which may
+    # differ in the last ulp between Java's Math.pow and libm and would
+    # poison the driver value hash.  The weight is then floored into a
+    # BIGINT so the cross-source total is an integer sum — order-invariant
+    # under any partitioning — and every downstream rate is a single
+    # division of two exactly-computed BIGINTs: bit-identical everywhere.
+    from sqlrs_spark.functions.hashing import md5int_duck, md5int_spark
+
+    md5 = (md5int_spark if spark_dialect else md5int_duck)(
+        "cast(doc_id as string)" if spark_dialect else "doc_id::VARCHAR"
+    )
+    mod = f"pmod({md5}, 1000000)" if spark_dialect else f"({md5} % 1000000)"
+    return f"""
+WITH src AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_chars,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, src_chars, n_docs,
+         CAST(floor(sqrt(CAST(src_chars AS DOUBLE)) * 1000) AS BIGINT) AS wt
+  FROM src
+),
+tw AS (SELECT CAST(SUM(wt) AS BIGINT) AS totw FROM w),
+rates AS (
+  SELECT source, src_chars, n_docs, wt,
+         least(1.0, CAST({_P22_BUDGET} * wt AS DOUBLE)
+                    / CAST(totw * src_chars AS DOUBLE)) AS rate
+  FROM w CROSS JOIN tw
+),
+kept AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE {mod} / 1e6 < r.rate
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.src_chars, round(r.rate, 9) AS rate,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(k.kept_chars, 0) AS BIGINT) AS kept_chars
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+ORDER BY r.source
+"""
+
+
+@register("p22_temperature_mix", oracle=_p22(False), tags=("pipeline", "sampling"))
+def p22_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source mixing (the multilingual-LM upsampling
+    recipe): each source's sampling rate targets a share proportional to
+    src_chars^alpha with alpha = 0.5, flattening the source distribution
+    so small sources are upsampled relative to their raw size.
+
+    Scale design: the per-source stats are one partial-agg shuffle over
+    ~|sources| groups; the 20-row rate table broadcasts everywhere; the
+    draw `md5(doc_id) mod 1e6 < rate` is the same row-local reproducible
+    Bernoulli filter as p12 — a single scan at 100 TB, no coordination,
+    rerun-stable.  Integer-domain weights (floor(sqrt(chars)*1000)) keep
+    every rate bit-identical across engines and partitionings; see _p22.
+    """
+    from sqlrs_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_p22(True))

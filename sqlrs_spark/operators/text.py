@@ -579,3 +579,73 @@ def t09_unicode_clean(spark, sf_dir):
         ORDER BY doc_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# t10 — corpus-level boilerplate detection (shared 8-gram share per doc)
+# ---------------------------------------------------------------------------
+
+_T10_NG = 8  # tokens per shingle
+_T10_MIN_DOCS = 2  # a shingle is "boilerplate" once >= 2 docs contain it
+_T10_FRAC = 0.25  # report docs whose boilerplate share crosses this
+
+
+def _t10(spark_dialect: bool) -> str:
+    # The shingle is hashed to a 60-bit int BEFORE the explode, so the
+    # shuffle carries (doc_id, 8-byte hash) rows, never 8-token strings.
+    from sqlrs_spark.functions.hashing import md5int_duck, md5int_spark
+
+    if spark_dialect:
+        toks = "split(text, ' ')"
+        gram = md5int_spark(f"concat_ws(' ', slice(tk, i, {_T10_NG}))")
+        sh = f"explode(transform(sequence(1, size(tk) - {_T10_NG - 1}), i -> {gram}))"
+        guard = f"size({toks}) >= {_T10_NG}"
+    else:
+        toks = "string_split(text, ' ')"
+        gram = md5int_duck(f"array_to_string(tk[i:i+{_T10_NG - 1}], ' ')")
+        sh = f"unnest(list_transform(range(1, len(tk) - {_T10_NG - 2}), i -> {gram}))"
+        guard = f"len({toks}) >= {_T10_NG}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS tk FROM documents WHERE {guard}
+),
+sh AS (
+  SELECT doc_id, {sh} AS g FROM toks
+),
+freq AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS ndocs FROM sh GROUP BY g
+),
+per_doc AS (
+  SELECT sh.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN f.ndocs >= {_T10_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler
+  FROM sh JOIN freq f ON sh.g = f.g
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shingles, n_boiler,
+       round(CAST(n_boiler AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS boiler_frac
+FROM per_doc
+WHERE CAST(n_boiler AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= {_T10_FRAC}
+ORDER BY doc_id
+"""
+
+
+@register("t10_boilerplate", oracle=_t10(False), tags=("pipeline", "text"))
+def t10_boilerplate(spark, sf_dir):
+    """Corpus-level boilerplate detection: the share of each document's
+    token 8-grams that also appear in other documents (C4/RefinedWeb-style
+    repeated-span cleaning, adapted to newline-free token text).
+
+    Scale design: shingles are hashed to 60-bit ints map-side, so the two
+    shuffles (shingle-frequency groupBy, per-doc rollup) move (bigint,
+    bigint) pairs — never text.  COUNT(DISTINCT doc_id) partial-aggregates
+    per partition; the frequency join back to the shingle stream is an
+    equi-join on the hash, which AQE handles as a shuffled-hash join with
+    skew splitting (a universal boilerplate shingle — a cookie banner —
+    is exactly the skewed-key case).  A production variant would drop the
+    report below a frequency floor computed from corpus size; the fixed
+    >= {_T10_MIN_DOCS}-doc threshold here keeps the oracle deterministic.
+    """
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_t10(True))

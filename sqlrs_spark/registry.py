@@ -77,6 +77,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "p19_rag_prep",
     "p20_tfidf_terms",
     "p21_fuzzy_vocab",
+    "p22_temperature_mix",
     # text analysis (t01-t07)
     "t01_token_count",
     "t02_language_id",
@@ -87,6 +88,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t07_pattern_scrub",
     "t08_quality_rules",
     "t09_unicode_clean",
+    "t10_boilerplate",
     # multimodal plumbing (m01-m04)
     "m01_multimodal_meta",
     "m02_frame_sample",
@@ -115,8 +117,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (q14_agg_distinct rotated out: §2.4 distinct-agg evidence rides
     # p20's COUNT(DISTINCT doc_id) df pass — a green driver row — plus
     # q12/q14's round-1 rows)
-    "q15_date_interval",  # §2.8 date arithmetic
-    "q19_disjunctive_pred",  # §2.2 Kleene AND/OR
+    # (q15_date_interval and q19_disjunctive_pred rotated out for
+    # p22/t10: §2.8 date arithmetic and §2.2 Kleene logic both carry
+    # green round-1 driver rows, and x05's CASE/LIKE/IN/BETWEEN driver
+    # row plus time.slt/conjunction_function.slt keep local coverage)
     # (q21_top_supplier rotated out: uncorrelated scalar subqueries carried
     # FIVE green round-1 rows — q11/q21/q26/q29/q31)
     "v03_ddl_roundtrip",  # §2.1 DDL/INSERT/seq scan
