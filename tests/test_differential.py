@@ -187,8 +187,14 @@ def test_differential_having(engines, sql):
 
 @st.composite
 def window_query(draw):
-    # windows need a total order per partition or results are ambiguous:
-    # (l_orderkey, l_linenumber) is the table's primary key
+    # (l_orderkey, l_linenumber) is NOT unique in the driver testdata
+    # (sf0.001 has ~1.1k duplicate pairs), so the window order has ties.
+    # The output is still deterministic as a multiset: tied rows are
+    # identical in every projected column, so ROW_NUMBER assignment
+    # within a tie is interchangeable, and LAG/LEAD/framed-agg values of
+    # l_linenumber are determined by the sorted value sequence alone.
+    # The one nondeterminism left is the LIMIT cut across a tie group —
+    # pinned by adding w as the final ORDER BY tiebreak below.
     func = draw(
         st.sampled_from(
             [
@@ -218,7 +224,7 @@ def window_query(draw):
         f"CAST({func} OVER (PARTITION BY {part} "
         f"ORDER BY l_orderkey, l_linenumber{frame}) AS BIGINT) AS w "
         f"FROM lineitem {where} "
-        f"ORDER BY l_orderkey, l_linenumber LIMIT 200"
+        f"ORDER BY l_orderkey, l_linenumber, w LIMIT 200"
     )
 
 
