@@ -797,3 +797,65 @@ def x24_dist_windows(spark, sf_dir):
     """
     register_views(spark, sf_dir, ("customer",))
     return spark.sql(_X24_SQL)
+
+
+# ---------------------------------------------------------------------------
+# x25 — native PIVOT: the wide reshape that inverts x23's UNPIVOT.  x07
+# builds the same shape with manual CASE WHEN conditional aggregates; x25
+# uses Spark SQL's first-class PIVOT clause (multiple aggregates, aliased
+# value list), which Catalyst lowers to the identical single-pass
+# hash-aggregate plan — proving the sugar and the manual form converge.
+# The oracle spells out the conditional aggregates, so the test also pins
+# that equivalence cross-engine.
+# ---------------------------------------------------------------------------
+
+_X25_TYPES = ("view", "click", "purchase")
+
+_X25_ORACLE = """
+SELECT user_id % 7 AS bucket,
+       COUNT(CASE WHEN event_type = 'view' THEN value END)     AS view_n,
+       CAST(SUM(CASE WHEN event_type = 'view'
+                     THEN value::DECIMAL(18,4) END) AS DOUBLE)     AS view_amt,
+       COUNT(CASE WHEN event_type = 'click' THEN value END)    AS click_n,
+       CAST(SUM(CASE WHEN event_type = 'click'
+                     THEN value::DECIMAL(18,4) END) AS DOUBLE)     AS click_amt,
+       COUNT(CASE WHEN event_type = 'purchase' THEN value END) AS purchase_n,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                     THEN value::DECIMAL(18,4) END) AS DOUBLE)     AS purchase_amt
+FROM events
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register("x25_pivot", oracle=_X25_ORACLE, tags=("extension", "reshape", "events"))
+def x25_pivot(spark, sf_dir):
+    """Native PIVOT reshape: per-user-bucket event counts and decimal-exact
+    value sums, one output column pair per event type.  Event types
+    outside the IN list are dropped by the clause itself — no pre-filter
+    needed.
+
+    Scale: PIVOT is sugar over groupBy(bucket).agg(conditional aggs) —
+    one partial-agg shuffle on the 7-value bucket key, output width fixed
+    by the declared value list (never data-dependent), so the plan is
+    identical at any SF.  A data-driven pivot (unknown value set) would
+    need a distinct-scan first — that is x07's two-phase territory.
+    """
+    register_views(spark, sf_dir, ("events",))
+    wide = spark.sql(
+        """
+        SELECT * FROM (
+          SELECT user_id % 7 AS bucket, event_type,
+                 CAST(value AS DECIMAL(18,4)) AS v
+          FROM events
+        )
+        PIVOT (COUNT(v) AS n, SUM(v) AS amt
+               FOR event_type IN ('view' AS view, 'click' AS click,
+                                  'purchase' AS purchase))
+        """
+    )
+    cols = [F.col("bucket")]
+    for ty in _X25_TYPES:
+        cols.append(F.col(f"{ty}_n"))
+        cols.append(F.col(f"{ty}_amt").cast("double").alias(f"{ty}_amt"))
+    return wide.select(*cols).orderBy("bucket")

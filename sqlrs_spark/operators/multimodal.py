@@ -432,3 +432,109 @@ def m05_image_neardup(spark, sf_dir):
         ORDER BY doc_a, doc_b
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# m06 — audio loudness windows over a REAL WAV codec round-trip.
+# m01-m05 exercise the real PNG decode on constructed fixtures; m06 puts
+# the real `wave` codec (functions/imaging.py encode_wav/decode_audio) on
+# a driver-checked path: PCM synthesized deterministically from
+# documents.text bytes -> RIFF/WAVE encode -> full decode -> per-window
+# integer energy/peak, every output value recomputable by the DuckDB
+# oracle from the source text alone.
+# ---------------------------------------------------------------------------
+
+_M06_CAP_BYTES = 2048  # PCM length cap per doc (samples = bytes)
+_M06_WIN = 256  # samples per loudness window
+_M06_RATE = 8000  # Hz, mono, 16-bit
+
+AUDIO_WIN_SCHEMA = (
+    "doc_id bigint, win_idx int, n_samples int, energy bigint, peak int"
+)
+
+# Every arithmetic step is integer-exact: sample = (byte - 128) * 256
+# (int16 range), energy = floor-mean of squares (<= 2^41, BIGINT-safe),
+# peak = max |sample|.  The oracle re-derives the byte stream via
+# hex(encode(text)) — BYTE semantics, not characters (the m01 lesson) —
+# so multi-byte UTF-8 docs agree exactly.
+_M06_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, substr(hex(encode(text)), 1, {2 * _M06_CAP_BYTES}) AS hx
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         g.j // {_M06_WIN} AS win_idx,
+         (('0x' || substr(hx, g.j * 2 + 1, 2))::INT - 128) * 256 AS smp
+  FROM h JOIN generate_series(0, {_M06_CAP_BYTES - 1}) AS g(j)
+    ON g.j * 2 < strlen(hx)
+)
+SELECT doc_id,
+       CAST(win_idx AS INT)                           AS win_idx,
+       CAST(COUNT(*) AS INT)                          AS n_samples,
+       CAST(SUM(CAST(smp AS BIGINT) * smp) // COUNT(*) AS BIGINT) AS energy,
+       CAST(MAX(ABS(smp)) AS INT)                     AS peak
+FROM s
+GROUP BY doc_id, win_idx
+ORDER BY doc_id, win_idx
+"""
+
+
+@register("m06_audio_windows", oracle=_M06_ORACLE, tags=("pipeline", "multimodal"))
+def m06_audio_windows(spark, sf_dir):
+    """Windowed loudness analysis through a real WAV round-trip: synthesize
+    16-bit mono PCM from each document's UTF-8 bytes, encode a RIFF/WAVE
+    container, decode it back with the stdlib `wave` codec, then emit one
+    row per 256-sample window with its integer mean-square energy
+    and peak amplitude — the feature a speech-corpus silence/clipping
+    filter consumes.
+
+    Scale design: the encode->decode->window chain is per-partition Python
+    over Arrow batches (mapInPandas) with NO shuffle — decode parallelism
+    is embarrassing, exactly like the PNG path (module doc).  Output is
+    len/256 rows per doc (bounded fan-out), and the energy/peak
+    arithmetic is integer-only so the driver value hash is stable across
+    engines and partitionings."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        cap, win = _M06_CAP_BYTES, _M06_WIN
+        for pdf in batches:
+            doc_ids, widx, wn, wen, wpk = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)[:cap]
+                samples = [(b - 128) * 256 for b in raw]
+                pcm = b"".join(
+                    s.to_bytes(2, "little", signed=True) for s in samples
+                )
+                wav = encode_wav(_M06_RATE, pcm)
+                decoded = decode_audio(wav)  # real stdlib WAV parse
+                assert decoded["sample_rate"] == _M06_RATE
+                got = decoded["pcm"]
+                back = [
+                    int.from_bytes(got[i : i + 2], "little", signed=True)
+                    for i in range(0, len(got), 2)
+                ]
+                for w0 in range(0, len(back), win):
+                    chunk = back[w0 : w0 + win]
+                    doc_ids.append(doc_id)
+                    widx.append(w0 // win)
+                    wn.append(len(chunk))
+                    wen.append(sum(s * s for s in chunk) // len(chunk))
+                    wpk.append(max(abs(s) for s in chunk))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "win_idx": widx,
+                    "n_samples": wn,
+                    "energy": wen,
+                    "peak": wpk,
+                }
+            )
+
+    return (
+        binarize_documents(spark, sf_dir)
+        .mapInPandas(op, schema=AUDIO_WIN_SCHEMA)
+        .orderBy("doc_id", "win_idx")
+    )

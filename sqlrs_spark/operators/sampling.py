@@ -258,3 +258,72 @@ def p22_temperature_mix(spark, sf_dir):
 
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_p22(True))
+
+
+# ---------------------------------------------------------------------------
+# p23 — weighted (probability-proportional-to-size) sampling without
+# replacement via sequential Poisson sampling (Ohlsson 1998): priority =
+# uniform_draw / weight, keep the k smallest priorities per stratum.
+# Larger documents get smaller expected priorities, so selection
+# probability is approximately proportional to n_chars — the standard
+# fixed-size PPS design, and the float-safe one: the only floating-point
+# op is a single IEEE division of two exact integers, which both engines
+# round identically (vs. the textbook u^(1/w) / ln(u)/w keys, whose
+# pow/ln results are NOT guaranteed bit-identical between Java and libm
+# and would poison the driver value hash).
+# ---------------------------------------------------------------------------
+
+_P23_K = 10  # sample size per source stratum
+
+
+def _p23(spark_dialect: bool) -> str:
+    draw = (
+        h31_spark("cast(doc_id as string)")
+        if spark_dialect
+        else h31_duck("doc_id::VARCHAR")
+    )
+    prio = f"CAST({draw} AS DOUBLE) / CAST(n_chars AS DOUBLE)"
+    return f"""
+WITH pri AS (
+  SELECT source, doc_id, n_chars, {prio} AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_chars, priority,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY priority, doc_id) AS rk
+  FROM pri
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)      AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT)  AS sampled_chars,
+       CAST(MIN(doc_id) AS BIGINT)   AS first_doc,
+       CAST(MAX(priority) AS DOUBLE) AS max_priority
+FROM ranked
+WHERE rk <= {_P23_K}
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("p23_pps_sample", oracle=_p23(False), tags=("pipeline", "sampling"))
+def p23_pps_sample(spark, sf_dir):
+    """Fixed-size weighted sample per stratum: sequential Poisson sampling
+    (priority = hash_draw / n_chars, k smallest per source) — the
+    deterministic PPS counterpart to p14's uniform quota fill.  Long
+    documents are favored in proportion to their size, which is the usual
+    shape for char-budgeted corpus selection.
+
+    Scale design: the priority is a row-local codegen projection; the
+    per-stratum top-k is a ROW_NUMBER window over (source) — same funnel
+    bound as p14 (k rows per stratum survive, and the window input is
+    pruned to 3 narrow columns before the shuffle, never the text).  At
+    billion-row strata, swap the exact window for a per-partition
+    partial top-k (each partition keeps its k smallest, then one final
+    k-of-k·P reduction) — the same lossless two-level reduction
+    p06_ann_bruteforce uses for its per-batch top-k.
+    """
+    from sqlrs_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_p23(True))
