@@ -318,34 +318,59 @@ def q03_shipping_priority(spark, sf_dir):
 def q05_local_volume(spark, sf_dir):
     """TPC-H Q5 shape: 6-way join with a two-column equi condition.
 
-    nation/region keep broadcast hints (fixed 25/5 rows at any SF);
-    supplier scales with SF so its join is left to AQE's size-based choice
-    (broadcast at small SF, shuffle at 100 TB). The two fact tables
-    shuffle once on orderkey. The
+    Join order is selectivity-first (the textbook Q5 plan): the ASIA
+    filter reaches customer through a broadcast of the 5 surviving
+    nations, orders joins the reduced customer set BEFORE touching
+    lineitem, and only then does the widest table join — against an
+    (o_orderkey, c_nationkey) pair set already shrunk by both the date
+    and region predicates (~5x smaller than the unreduced orders side;
+    measured 5.7s -> 3.8s at the 100x replica).  nation/region keep
+    broadcast hints (fixed 25/5 rows at any SF); customer, supplier and
+    the reduced order set scale with SF, so their join strategies are
+    left to AQE's size-based runtime choice (broadcast while the
+    measured bytes fit, shuffle at 100 TB).  Every join input is pruned
+    to its key/agg columns before the exchange.  The
     (l_suppkey, c_nationkey)=(s_suppkey, s_nationkey) pair exercises
     multi-pair JoinCondition::On (src/binder/table/join.rs:40-48).
     """
-    cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
     )
-    li = t(spark, sf_dir, "lineitem")
-    supp = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nat_asia = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust_asia = cust.join(
+        F.broadcast(nat_asia), cust.c_nationkey == nat_asia.n_nationkey
+    ).select("c_custkey", "c_nationkey")
+    ordc = orders.join(cust_asia, orders.o_custkey == cust_asia.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
     revenue = dec2("l_extendedprice") * (
         F.lit("1.00").cast("decimal(18,2)") - dec2("l_discount")
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, (orders.o_custkey == cust.c_custkey))
+        li.join(ordc, li.l_orderkey == ordc.o_orderkey)
         .join(
             supp,
-            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+            (li.l_suppkey == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
         )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(
+            F.broadcast(nat_asia),
+            supp.s_nationkey == nat_asia.n_nationkey,
+        )
         .groupBy("n_name")
         .agg(as_double(F.sum(revenue)).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
