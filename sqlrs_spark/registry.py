@@ -78,6 +78,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "p20_tfidf_terms",
     "p21_fuzzy_vocab",
     "p22_temperature_mix",
+    "p23_pps_sample",
     # text analysis (t01-t07)
     "t01_token_count",
     "t02_language_id",
@@ -95,6 +96,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "m03_fake_embed",
     "m04_resize",
     "m05_image_neardup",
+    "m06_audio_windows",
     # structured streaming (s01-s06)
     "s01_stream_tumbling",
     "s02_stream_stateful_sessions",
@@ -103,15 +105,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "s05_stream_static_join",
     "s06_stream_funnel",
     "s07_stream_stream_join",
+    "s08_stream_foreachbatch_sink",
     # beyond-reference §2.5/§2.7/§2.8 families with no round-1 driver row
     "x03_set_ops",
     # (x04_window_topk rotated out: §2.5 window evidence now rides p20's
     # ROW_NUMBER top-k driver row; x04 keeps its local oracle test)
     "x05_expressions",
-    # one representative per §2 family (re-verified, all green round 1)
-    "q01_pricing_summary",  # §2.4 hash agg
-    "q05_local_volume",  # §2.3 multi-join (§2.2 filter/project rides q19;
-    # outer joins q07-q09 keep their green round-1 rows + slt coverage)
+    # (q01_pricing_summary / q05_local_volume / v03_ddl_roundtrip rotated
+    # out for p23/m06/s08: §2.4 hash agg, §2.3 multi-join and §2.1
+    # DDL/INSERT all carry green round-1 driver rows — q01/q05/v03 among
+    # them — plus slt + oracle-parity coverage, while the three new
+    # pipeline operators would otherwise ship with no driver row at all.
+    # Outer joins q07-q09 likewise keep their green round-1 rows.)
     # (q13_order_limit_offset rotated out: §2.6 evidence rides q03/q20's
     # round-1 green rows + test_plans::test_topk_fuses_to_take_ordered)
     # (q14_agg_distinct rotated out: §2.4 distinct-agg evidence rides
@@ -123,7 +128,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # row plus time.slt/conjunction_function.slt keep local coverage)
     # (q21_top_supplier rotated out: uncorrelated scalar subqueries carried
     # FIVE green round-1 rows — q11/q21/q26/q29/q31)
-    "v03_ddl_roundtrip",  # §2.1 DDL/INSERT/seq scan
 )
 
 

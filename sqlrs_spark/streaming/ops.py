@@ -528,3 +528,68 @@ def s07_stream_stream_join(spark, sf_dir):
     result = spark.createDataFrame(out.collect(), out.schema)
     spark.catalog.dropTempView(name)
     return result.orderBy("view_id", "click_id")
+
+
+# ---------------------------------------------------------------------------
+# s08 — foreachBatch sink with epoch-keyed idempotent writes
+# ---------------------------------------------------------------------------
+
+_S08_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       COUNT(*) AS n,
+       CAST(SUM(value::DECIMAL(18,4)) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "s08_stream_foreachbatch_sink",
+    oracle=_S08_ORACLE,
+    tags=("pipeline", "streaming", "sink"),
+)
+def s08_stream_foreachbatch_sink(spark, sf_dir):
+    """foreachBatch sink with the production idempotent-write pattern:
+    every micro-batch lands in its own ``epoch=<batch_id>`` partition
+    directory with mode("overwrite"), so a replayed batch (failure ->
+    checkpoint restart redelivers the same epoch id) OVERWRITES its own
+    prior output instead of appending duplicates — exactly-once table
+    state from an at-least-once delivery contract.  This is the one
+    Structured Streaming surface s01-s07 don't exercise: an arbitrary
+    batch-DataFrame sink callback rather than a built-in sink.
+
+    The returned DataFrame re-reads the sink directory (partition
+    discovery recovers the epoch column) and aggregates it, so the
+    driver's value hash covers the full stream -> sink -> re-scan loop;
+    the batch oracle proves the sink holds exactly the source's purchase
+    rows no matter how the stream chopped them into micro-batches.
+
+    Scale: foreachBatch writes are distributed (the callback runs a
+    normal cluster write per batch); the per-epoch directory layout keeps
+    replay overwrites partition-local, never rewriting the whole table.
+    """
+    ev = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    out_dir = tempfile.mkdtemp(prefix="s08_sink_")
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        # idempotent: epoch-keyed path + overwrite; a redelivered epoch
+        # replaces its own output byte-for-byte
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    q = (
+        ev.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_s08_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.read.parquet(out_dir).drop("epoch")
+    return (
+        sunk.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .orderBy("hour_start")
+    )

@@ -163,6 +163,12 @@ def test_copy_options_with_quoted_paren(session, tmp_path):
     p = tmp_path / "paren.csv"
     p.write_text("id)name\n1)ada\n2)lin\n")
     session.spark.sql("CREATE OR REPLACE TEMP VIEW __cp_schema AS SELECT 1")
+    # a killed prior run can leave the managed table's warehouse dir behind
+    # (LOCATION_ALREADY_EXISTS even after DROP) — clear both catalog and dir
+    session.spark.sql("DROP TABLE IF EXISTS cp_paren")
+    import shutil
+
+    shutil.rmtree("spark-warehouse/cp_paren", ignore_errors=True)
     session.sql("create table cp_paren (id int, name string)")
     session.sql(f"COPY cp_paren FROM '{p}' (DELIMITER ')', HEADER)")
     got = [tuple(r) for r in session.sql("select * from cp_paren order by id").collect()]
