@@ -24,7 +24,9 @@ from tests.oracle import rows_multiset
 SPECS = all_specs()
 
 # one per discipline: decimal agg, decimal threshold, hash-draw sampling,
-# digest dedup, window packing, argmin struct
+# digest dedup, window packing, argmin struct, float-division priority
+# ranking, and an Arrow mapInPandas whose batch boundaries move with the
+# partitioning (m06 — per-doc windows must not depend on batch shape)
 QUERIES = [
     "q01_pricing_summary",
     "q29_important_parts",
@@ -32,6 +34,8 @@ QUERIES = [
     "p16_dedup_minhash_capped",
     "p13_token_budget_pack",
     "q34_min_cost_supplier",
+    "p23_pps_sample",
+    "m06_audio_windows",
 ]
 
 
