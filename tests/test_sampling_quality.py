@@ -1,0 +1,80 @@
+"""Sampling-quality gate: the weighted sampler must actually weight.
+
+Oracle parity (test_oracle_parity) pins that p23's sequential-Poisson
+selection is computed identically in both engines; this file pins that
+the selection has the PPS property it exists for — bigger documents are
+chosen more often than smaller ones — and that the fixed-size contract
+holds per stratum.
+
+The fixture is constructed, not the driver corpus: one stratum per
+source with a 10x size spread between its "large" and "small" halves, so
+the expected selection bias is unambiguous. Everything derives from the
+same md5 draw the operator uses, so the measured numbers are exact and
+seed-free.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sqlrs_spark.registry import all_specs
+
+SPECS = all_specs()
+
+_N_SOURCES = 8
+_DOCS_PER_SOURCE = 60  # half large (9000 chars), half small (900 chars)
+_K = 10  # p23's per-stratum sample size
+
+
+@pytest.fixture(scope="module")
+def pps_fixture(tmp_path_factory):
+    docs = []
+    doc_id = 0
+    for s in range(_N_SOURCES):
+        for i in range(_DOCS_PER_SOURCE):
+            n_chars = 9000 if i < _DOCS_PER_SOURCE // 2 else 900
+            docs.append(
+                {
+                    "doc_id": doc_id,
+                    "text": "x " * 10,  # content is irrelevant to p23
+                    "lang": "en",
+                    "source": f"src{s}",
+                    "n_chars": n_chars,
+                }
+            )
+            doc_id += 1
+    sf_dir = str(tmp_path_factory.mktemp("pps_sf"))
+    pq.write_table(pa.Table.from_pylist(docs), os.path.join(sf_dir, "documents.parquet"))
+    return sf_dir
+
+
+def test_p23_is_fixed_size_per_stratum(spark, pps_fixture):
+    out = {r["source"]: r for r in SPECS["p23_pps_sample"].fn(spark, pps_fixture).collect()}
+    assert len(out) == _N_SOURCES
+    for row in out.values():
+        assert row["n_docs"] == _K, f"{row['source']} sampled {row['n_docs']} != {_K}"
+
+
+def test_p23_prefers_large_documents(spark, pps_fixture):
+    """PPS property: with a 10x weight spread, the k-smallest-priority
+    sample should be dominated by large docs.  Expected large share per
+    stratum is 10/11 ≈ 0.91; require a clear majority overall (the draw
+    is a fixed hash, so this is deterministic, not flaky)."""
+    out = SPECS["p23_pps_sample"].fn(spark, pps_fixture).collect()
+    total_chars = sum(r["sampled_chars"] for r in out)
+    total_docs = sum(r["n_docs"] for r in out)
+    # if selection ignored weights, mean sampled size would be ~4950;
+    # PPS with a 10x spread pushes it toward 9000
+    mean_chars = total_chars / total_docs
+    assert mean_chars > 7000, f"mean sampled doc size {mean_chars:.0f} — not weighted"
+
+
+def test_p23_is_a_subset_sample(spark, pps_fixture):
+    """sampled_chars must be attainable from real documents: per stratum,
+    bounded by k * max_doc_size and at least k * min_doc_size."""
+    for r in SPECS["p23_pps_sample"].fn(spark, pps_fixture).collect():
+        assert _K * 900 <= r["sampled_chars"] <= _K * 9000

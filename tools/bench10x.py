@@ -66,9 +66,21 @@ def build_replica(spark, dst: str, factor: int) -> None:
     # the corpus in tiny files; more files at higher factors so every
     # core scans during the build AND the bench
     nparts = 16 if factor <= 10 else 64
-    rep = spark.range(factor).select(F.col("id").alias("__r"))
+    # Parallelism comes from the REPLICA side: the sf0.1 source is one
+    # ~17 MB parquet file = one input split, so `source.crossJoin(rep)`
+    # generates all factor×rows in a single task (measured: the x1000
+    # build crawled at ~45 MB/min).  Partitioning the replica ids and
+    # broadcasting the small base table instead gives every core its own
+    # slice of replicas to generate, and the write needs no extra
+    # repartition — the replica partitioning IS the file layout.
+    rep = (
+        spark.range(factor)
+        .select(F.col("id").alias("__r"))
+        .repartition(min(factor, nparts))
+    )
     for t, cols in SHIFT_COLS.items():
-        df = spark.read.parquet(f"{SRC}/{t}.parquet").crossJoin(F.broadcast(rep))
+        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        df = rep.crossJoin(F.broadcast(base))
         for c in cols:
             df = df.withColumn(c, F.col(c) + F.col("__r") * STRIDE)
         if t == "documents":
@@ -86,9 +98,7 @@ def build_replica(spark, dst: str, factor: int) -> None:
             df = df.withColumn(
                 "text", F.when(F.col("__r") == 0, F.col("text")).otherwise(salted)
             )
-        df.drop("__r").repartition(nparts).write.mode("overwrite").parquet(
-            f"{dst}/{t}.parquet"
-        )
+        df.drop("__r").write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
         print(f"# built {t} x{factor}", file=sys.stderr)
     for t in COPY_ONCE:
         spark.read.parquet(f"{SRC}/{t}.parquet").coalesce(1).write.mode(
