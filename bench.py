@@ -31,6 +31,25 @@ def table_bytes(sf_dir: str, entry: str) -> int:
     return os.path.getsize(path)
 
 
+def total_bytes(sf_dir: str) -> int:
+    return sum(table_bytes(sf_dir, f) for f in os.listdir(sf_dir))
+
+
+def shuffle_parts(sf_dir: str, cpus: int) -> int:
+    """Scale-aware shuffle partition count: at least one per core, and at
+    most ~64 MB of (compressed, so ~3x that live) input per partition,
+    capped at 2048.
+
+    Pinning partitions = cores is only right while a partition's share of
+    a shuffled table fits the per-thread heap; at the 1000x replica
+    (~21 GB input, 600M-row lineitem) 32 partitions meant ~1 GB hash-join
+    builds per task and the shuffled-hash preference OOMed the JVM.
+    Sizing by bytes keeps builds bounded at any SF, and AQE coalesces the
+    excess partitions away when the actual shuffle is small — the same
+    sizing rule a 1000-executor cluster uses."""
+    return max(cpus, min(2048, total_bytes(sf_dir) // (64 << 20)))
+
+
 def split_bytes(sf_dir: str, cpus: int) -> int:
     """Scale-aware input split size: target ≥2 splits per core on the
     largest table so every core scans, clamped to [4 MiB, 128 MiB].  At
@@ -59,10 +78,14 @@ def bench_spark(sf_dir: str, cpus: int | None = None, app: str = "sqlrs_spark_be
     spark = build_spark(
         app,
         cores=cpus,
-        shuffle_partitions=cpus,
+        shuffle_partitions=shuffle_parts(sf_dir, cpus),
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(split_bytes(sf_dir, cpus)),
             "spark.sql.files.openCostInBytes": str(256 << 10),
+            # the bench materializes full results via toArrow; at the
+            # 1000x replica wide outputs (t01: 5M rows) exceed the 1 GiB
+            # default and kill the job mid-collect
+            "spark.driver.maxResultSize": "6g",
         },
     )
     specs = [s for s in all_specs().values() if s.bench]
