@@ -88,9 +88,17 @@ def bench_spark(sf_dir: str, cpus: int | None = None, app: str = "sqlrs_spark_be
             "spark.driver.maxResultSize": "6g",
         },
     )
+    import gc
+
     specs = [s for s in all_specs().values() if s.bench]
     timings: dict[str, float] = {}
     for s in specs:
+        # Drop py4j references from the previous spec so Spark's
+        # ContextCleaner can release its broadcasts/shuffle files before
+        # the next measurement — without this, JVM pressure from earlier
+        # queries inflates later ones (p16 measured 148s mid-session vs
+        # 72s in a fresh JVM at the 1000x replica).
+        gc.collect()
         # Materialize via Arrow (df.toArrow) — the columnar batch transfer
         # any real Python consumer of the engine uses, and the same
         # result contract the DuckDB side is timed on (.arrow()).  Plain
