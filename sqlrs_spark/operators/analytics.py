@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sqlrs_spark.operators.common import as_double, dec2, t
+from sqlrs_spark.operators.common import REV_CENTS_SQL, as_double, dec2, rev_cents, t
 from sqlrs_spark.registry import register
 
 _ONE = "1.00"
@@ -39,12 +39,12 @@ _REV_SQL = "l_extendedprice::DECIMAL(18,2) * (1.00::DECIMAL(18,2) - l_discount::
     "q22_volume_shipping",
     oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
-           CAST(SUM(volume) AS DOUBLE) AS revenue
+           CAST(SUM(volume_c) AS BIGINT) / 10000.0 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation,
              n2.n_name AS cust_nation,
              EXTRACT(year FROM l_shipdate) AS l_year,
-             {_REV_SQL} AS volume
+             {REV_CENTS_SQL} AS volume_c
       FROM supplier
       JOIN lineitem ON s_suppkey = l_suppkey
       JOIN orders   ON o_orderkey = l_orderkey
@@ -74,10 +74,21 @@ def q22_volume_shipping(spark, sf_dir):
     classic Q7 rewrite.  The disjunctive pair filter then runs inside the
     post-join codegen stage; no extra pass over the facts.
     """
-    li = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate").between(
-            F.lit("1995-01-01 00:00:00").cast("timestamp"),
-            F.lit("1996-12-31 00:00:00").cast("timestamp"),
+    # revenue collapses to ONE BIGINT before the fact shuffle
+    # (common.cents): lineitem rides the exchange as 3 longs + the year
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_shipdate").between(
+                F.lit("1995-01-01 00:00:00").cast("timestamp"),
+                F.lit("1996-12-31 00:00:00").cast("timestamp"),
+            )
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").alias("l_year"),
+            rev_cents().alias("rev_c"),
         )
     )
     orders = t(spark, sf_dir, "orders")
@@ -112,8 +123,8 @@ def q22_volume_shipping(spark, sf_dir):
             ((F.col("supp_nation") == "NATION_5") & (F.col("cust_nation") == "NATION_13"))
             | ((F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_5"))
         )
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(as_double(F.sum(_rev())).alias("revenue"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum("rev_c") / 10000.0).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sqlrs_spark.operators.common import as_double, dec2, t
+from sqlrs_spark.operators.common import as_double, cents, dec2, rev_cents, t
 from sqlrs_spark.registry import register
 
 _REV_SQL = "l_extendedprice::DECIMAL(18,2) * (1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"
@@ -82,12 +82,14 @@ def q27_order_priority(spark, sf_dir):
 @register(
     "q28_nation_profit",
     oracle=f"""
-    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    SELECT nation, o_year, CAST(SUM(amount_c) AS BIGINT) / 10000.0 AS sum_profit
     FROM (
       SELECT n_name AS nation,
              EXTRACT(year FROM o_orderdate) AS o_year,
-             {_REV_SQL}
-               - p_retailprice::DECIMAL(18,2) * l_quantity::DECIMAL(18,2) AS amount
+             (CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
+               - CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)
+                 * CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS amount_c
       FROM lineitem
       JOIN part     ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -112,15 +114,23 @@ def q28_nation_profit(spark, sf_dir):
     fit (no forced hints — both scale with SF, and a pinned broadcast
     would OOM at the 100 TB target); nation keeps its hint (fixed 25
     rows).  The single wide shuffle is lineitem⋈orders on orderkey, then
-    a 2-key agg.  Profit stays DECIMAL end-to-end — partial-agg order
-    cannot perturb the result.
+    a 2-key agg.  Profit is exact integer 1e-4-dollar units
+    (common.cents): the per-row amount collapses to ONE BIGINT before the
+    wide shuffle, and the partial aggregates are plain long adds —
+    partial-agg order cannot perturb the result, same as the decimal
+    path, at a fraction of its cost.
     """
-    li = t(spark, sf_dir, "lineitem")
-    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
-    supp = t(spark, sf_dir, "supplier")
-    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", rev_cents().alias("rev_c"),
+        cents("l_quantity").alias("qty_c"),
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", cents("p_retailprice").alias("rp_c")
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     nation = t(spark, sf_dir, "nation")
-    amount = _rev() - dec2("p_retailprice") * dec2("l_quantity")
+    amount_c = F.col("rev_c") - F.col("rp_c") * F.col("qty_c")
     return (
         li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
@@ -129,10 +139,10 @@ def q28_nation_profit(spark, sf_dir):
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
-            amount.alias("amount"),
+            amount_c.alias("amount_c"),
         )
         .groupBy("nation", "o_year")
-        .agg(as_double(F.sum("amount")).alias("sum_profit"))
+        .agg((F.sum("amount_c") / 10000.0).alias("sum_profit"))
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sqlrs_spark.operators.common import as_double, dec2, t
+from sqlrs_spark.operators.common import as_double, dec2, rev_cents, t
 from sqlrs_spark.registry import register
 
 
@@ -286,8 +286,9 @@ def q18_derived_table(spark, sf_dir):
     "q03_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           CAST(SUM(l_extendedprice::DECIMAL(18,2)
-                    * (1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE)
+           CAST(SUM((CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))))
+                AS BIGINT) / 10000.0
              AS revenue,
            CAST(o_orderdate AS DATE) AS orderdate
     FROM customer
@@ -327,13 +328,12 @@ def q03_shipping_priority(spark, sf_dir):
         .filter(F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp"))
         .select("o_orderkey", "o_custkey", "o_orderdate")
     )
+    # revenue collapses to ONE BIGINT before the exchange (common.cents):
+    # the lineitem shuffle carries (l_orderkey, rev_c) — two longs
     li = (
         t(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp"))
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-    )
-    revenue = dec2("l_extendedprice") * (
-        F.lit("1.00").cast("decimal(18,2)") - dec2("l_discount")
+        .select("l_orderkey", rev_cents().alias("rev_c"))
     )
     ordc = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "o_orderkey", "o_orderdate"
@@ -341,7 +341,7 @@ def q03_shipping_priority(spark, sf_dir):
     return (
         li.join(ordc, li.l_orderkey == ordc.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(as_double(F.sum(revenue)).alias("revenue"))
+        .agg((F.sum("rev_c") / 10000.0).alias("revenue"))
         .select(
             "l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate")
         )
@@ -354,8 +354,9 @@ def q03_shipping_priority(spark, sf_dir):
     "q05_local_volume",
     oracle="""
     SELECT n_name,
-           CAST(SUM(l_extendedprice::DECIMAL(18,2)
-                    * (1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE)
+           CAST(SUM((CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))))
+                AS BIGINT) / 10000.0
              AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -399,8 +400,12 @@ def q05_local_volume(spark, sf_dir):
         )
         .select("o_orderkey", "o_custkey")
     )
+    # revenue collapses to ONE BIGINT (1e-4-dollar units) BEFORE the
+    # exchange: the widest shuffle carries (l_orderkey, l_suppkey, rev_c)
+    # — 3 longs — instead of two money doubles that would then feed a
+    # decimal aggregate (see common.cents; 28.4s -> 5.7s on q01's agg)
     li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        "l_orderkey", "l_suppkey", rev_cents().alias("rev_c")
     )
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = t(spark, sf_dir, "nation")
@@ -414,9 +419,6 @@ def q05_local_volume(spark, sf_dir):
     ordc = orders.join(cust_asia, orders.o_custkey == cust_asia.c_custkey).select(
         "o_orderkey", "c_nationkey"
     )
-    revenue = dec2("l_extendedprice") * (
-        F.lit("1.00").cast("decimal(18,2)") - dec2("l_discount")
-    )
     return (
         li.join(ordc, li.l_orderkey == ordc.o_orderkey)
         .join(
@@ -429,7 +431,7 @@ def q05_local_volume(spark, sf_dir):
             supp.s_nationkey == nat_asia.n_nationkey,
         )
         .groupBy("n_name")
-        .agg(as_double(F.sum(revenue)).alias("revenue"))
+        .agg((F.sum("rev_c") / 10000.0).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
