@@ -394,13 +394,16 @@ def x15_approx_sketches(spark, sf_dir):
     ~1.5 KB of state per group at rsd=0.05.
     """
     orders = t(spark, sf_dir, "orders")
+    # scalar percentile columns, not one array column — the driver's
+    # rows-only canonicalization cannot hash/sort list cells (m03 lesson)
+    pct = F.expr("approx_percentile(o_totalprice, array(0.5D, 0.95D, 0.99D), 1000)")
     return (
         orders.groupBy("o_orderstatus")
         .agg(
             F.approx_count_distinct("o_custkey", 0.05).alias("approx_custs"),
-            F.expr(
-                "approx_percentile(o_totalprice, array(0.5D, 0.95D, 0.99D), 1000)"
-            ).alias("price_pctiles"),
+            pct[0].alias("price_p50"),
+            pct[1].alias("price_p95"),
+            pct[2].alias("price_p99"),
             F.count("*").alias("n"),
         )
         .orderBy("o_orderstatus")

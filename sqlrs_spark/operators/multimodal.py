@@ -256,6 +256,12 @@ def fake_embed(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(op, schema=EMBED_SCHEMA)
 
 
+# Contract output is EXPLODED to (doc_id, dim_idx, value, norm) rows: the
+# driver canonicalizes results through pandas sort_values, which cannot
+# hash a raw array<double> column (round-2 red row: "unhashable type:
+# 'list'").  Exploding keeps every dimension value-checked — stronger than
+# digesting — while the array-shaped API (fake_embed) stays the building
+# block other operators consume.
 _M03_ORACLE = """
 WITH v AS (
   SELECT doc_id,
@@ -264,20 +270,29 @@ WITH v AS (
          ) AS embedding
   FROM documents
 )
-SELECT doc_id, embedding,
+SELECT doc_id,
+       CAST(g.i AS INT)      AS dim_idx,
+       embedding[g.i + 1]    AS value,
        sqrt(list_sum(list_transform(embedding, x -> x * x))) AS norm
-FROM v
-ORDER BY doc_id
+FROM v JOIN generate_series(0, 7) AS g(i) ON true
+ORDER BY doc_id, dim_idx
 """
 
 
 @register("m03_fake_embed", oracle=_M03_ORACLE, tags=("pipeline", "multimodal"))
 def m03_fake_embed(spark, sf_dir):
     """Payload → embedding extraction through the binary-column pipeline
-    (binarize → mapInPandas encoder stub → array<double> + norm). The
-    oracle recomputes each dimension from the text with the same md5
-    derivation, value-checking the whole Arrow array round-trip."""
-    return fake_embed(binarize_documents(spark, sf_dir)).orderBy("doc_id")
+    (binarize → mapInPandas encoder stub → array<double> + norm), exploded
+    to one (doc_id, dim_idx, value, norm) row per dimension so the driver
+    can hash it (see _M03_ORACLE note). The oracle recomputes each
+    dimension from the text with the same md5 derivation, value-checking
+    the whole Arrow array round-trip dim by dim."""
+    emb = fake_embed(binarize_documents(spark, sf_dir))
+    return emb.select(
+        "doc_id",
+        F.posexplode("embedding").alias("dim_idx", "value"),
+        "norm",
+    ).orderBy("doc_id", "dim_idx")
 
 
 RESIZE_SCHEMA = (

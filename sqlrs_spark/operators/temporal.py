@@ -153,9 +153,14 @@ def x13_range_join(spark, sf_dir):
 # x14 — exact quantiles (distribution stats per group)
 # ---------------------------------------------------------------------------
 
+# Contract emits the three quartiles as SCALAR columns, not one array
+# column: the driver's pandas canonicalization cannot hash list cells
+# (the round-2 m03 lesson, applied here before x14's first driver row).
 _X14_ORACLE = """
 SELECT l_returnflag,
-       quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+       quantile_cont(l_quantity, 0.25) AS qty_q25,
+       quantile_cont(l_quantity, 0.50) AS qty_median,
+       quantile_cont(l_quantity, 0.75) AS qty_q75,
        MIN(l_quantity) AS qty_min,
        MAX(l_quantity) AS qty_max,
        COUNT(*) AS n
@@ -170,14 +175,16 @@ def x14_quantiles(spark, sf_dir):
     """Exact grouped quartiles of l_quantity (integral doubles, so the
     linear interpolation at quarter fractions is exact in both engines).
     Spark `percentile` ≡ DuckDB `quantile_cont` (both lower+(upper-lower)*f).
+    One sort-based aggregate pass serves all three fractions.
     """
     li = t(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").alias(
-                "qty_quartiles"
-            ),
+            q[0].alias("qty_q25"),
+            q[1].alias("qty_median"),
+            q[2].alias("qty_q75"),
             F.min("l_quantity").alias("qty_min"),
             F.max("l_quantity").alias("qty_max"),
             F.count("*").alias("n"),
