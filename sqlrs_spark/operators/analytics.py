@@ -22,7 +22,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sqlrs_spark.operators.common import REV_CENTS_SQL, as_double, dec2, rev_cents, t
+from sqlrs_spark.operators.common import (
+    REV_CENTS_SQL,
+    as_double,
+    dec2,
+    money_sum_aggs,
+    money_sum_total,
+    rev_cents,
+    t,
+)
 from sqlrs_spark.registry import register
 
 _ONE = "1.00"
@@ -124,7 +132,13 @@ def q22_volume_shipping(spark, sf_dir):
             | ((F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_5"))
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg((F.sum("rev_c") / 10000.0).alias("revenue"))
+        .agg(*money_sum_aggs("rev_c"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            money_sum_total("rev_c").alias("revenue"),
+        )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 

@@ -24,7 +24,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sqlrs_spark.operators.common import as_double, cents, dec2, rev_cents, t
+from sqlrs_spark.operators.common import (
+    as_double,
+    cents,
+    dec2,
+    money_sum_aggs,
+    money_sum_total,
+    rev_cents,
+    t,
+)
 from sqlrs_spark.registry import register
 
 _REV_SQL = "l_extendedprice::DECIMAL(18,2) * (1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"
@@ -142,7 +150,10 @@ def q28_nation_profit(spark, sf_dir):
             amount_c.alias("amount_c"),
         )
         .groupBy("nation", "o_year")
-        .agg((F.sum("amount_c") / 10000.0).alias("sum_profit"))
+        .agg(*money_sum_aggs("amount_c"))
+        .select(
+            "nation", "o_year", money_sum_total("amount_c").alias("sum_profit")
+        )
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
 
@@ -381,16 +392,17 @@ def q33_supplier_cnt(spark, sf_dir):
     oracle="""
     WITH m AS (
       SELECT l_partkey,
-             MIN(l_extendedprice::DECIMAL(18,2)) AS min_price
+             MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS min_price_c
       FROM lineitem GROUP BY l_partkey
     ), pick AS (
-      SELECT l.l_partkey, m.min_price, MIN(l.l_suppkey) AS s_key
+      SELECT l.l_partkey, m.min_price_c, MIN(l.l_suppkey) AS s_key
       FROM lineitem l
       JOIN m ON l.l_partkey = m.l_partkey
-            AND l.l_extendedprice::DECIMAL(18,2) = m.min_price
-      GROUP BY l.l_partkey, m.min_price
+            AND CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) = m.min_price_c
+      GROUP BY l.l_partkey, m.min_price_c
     )
-    SELECT p_partkey, p_name, s_name, CAST(min_price AS DOUBLE) AS min_price
+    SELECT p_partkey, p_name, s_name,
+           CAST(min_price_c AS DOUBLE) / 100.0 AS min_price
     FROM pick
     JOIN part ON p_partkey = pick.l_partkey
     JOIN supplier ON s_suppkey = s_key
@@ -411,8 +423,12 @@ def q34_min_cost_supplier(spark, sf_dir):
     aggregable lexicographic argmin, so the agg+join-back+re-agg of the
     SQL formulation collapses to a single groupBy (same trick as
     p10_dedup_canonical); part (p_size pushed) and supplier are AQE's
-    call — no forced hints on SF-scaling tables.  The struct min compares
-    DECIMAL then BIGINT — exact, deterministic.
+    call — no forced hints on SF-scaling tables.  The struct key is
+    BIGINT cents, not DECIMAL(18,2): the per-row comparisons inside the
+    partial argmin are plain long compares (the q01 integer-cents
+    treatment applied to an argmin — DECIMAL struct compares were 5.8x
+    DuckDB at the 1000x replica), exact and order-identical since
+    cents() is monotone in price; ties and the final value are unchanged.
     """
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
@@ -426,7 +442,7 @@ def q34_min_cost_supplier(spark, sf_dir):
         .agg(
             F.min(
                 F.struct(
-                    dec2("l_extendedprice").alias("price"),
+                    cents("l_extendedprice").alias("price_c"),
                     F.col("l_suppkey").alias("sk"),
                 )
             ).alias("m")
@@ -438,7 +454,7 @@ def q34_min_cost_supplier(spark, sf_dir):
             "p_partkey",
             "p_name",
             "s_name",
-            as_double(F.col("m.price")).alias("min_price"),
+            (F.col("m.price_c").cast("double") / 100.0).alias("min_price"),
         )
         .orderBy("p_partkey")
     )

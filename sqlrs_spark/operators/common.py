@@ -14,6 +14,26 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def materialize_then_rm(df: DataFrame, *paths: str) -> DataFrame:
+    """Collect a small bounded result into an in-memory DataFrame, then
+    delete the scratch dirs backing its lineage.
+
+    Sink round-trip operators (v09-v12, s08) write full table copies to
+    mkdtemp scratch; returning a LAZY plan over those files means the
+    dirs can never be cleaned (the caller re-executes the plan), so every
+    bench warm+timed invocation leaked a full copy — multiple GB of /tmp
+    per run at the 1000x replica.  Their *results* are tiny bounded
+    aggregates, so materializing them (the same rows the caller would
+    collect) lets the scratch be removed eagerly.
+    """
+    import shutil
+
+    out = df.sparkSession.createDataFrame(df.collect(), df.schema)
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+    return out
+
+
 def dec2(c: str | Column) -> Column:
     """Money column → exact DECIMAL(18,2).
 
@@ -68,8 +88,13 @@ def cents_sql(col: str) -> str:
 
 def rev_cents() -> Column:
     """Revenue l_extendedprice*(1-l_discount) in exact 1e-4-dollar units:
-    price_cents * (100 - discount_cents).  Per-row ≤ ~1e9, so BIGINT sums
-    are overflow-safe past SF100; divide by 10000.0 at the end."""
+    price_cents * (100 - discount_cents).  Per-row ≤ ~1e9, so a plain
+    BIGINT group sum wraps around 9.2e18/1e9 ≈ 1e10 rows per group
+    (~SF1500 if one group holds the whole table) — NOT enough headroom
+    for the 100 TB target, and Spark's non-ANSI long SUM wraps silently
+    while the DuckDB oracle promotes to HUGEINT.  Group sums therefore go
+    through :func:`money_sum_aggs` (split-radix: two long partial sums,
+    exact recombination in DECIMAL(38,0)), never a bare ``F.sum``."""
     return cents("l_extendedprice") * (100 - cents("l_discount"))
 
 
@@ -77,3 +102,43 @@ REV_CENTS_SQL = (
     "(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
     " * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))"
 )
+
+#: split-radix base for money sums: per-row money units divide into
+#: hi = v div 1e6 and lo = v % 1e6 so BOTH partial sums stay long-typed
+#: integer adds (the whole point of integer-cents aggregation) while the
+#: exact total survives any scale: |lo| < 1e6 wraps past 9.2e12 rows per
+#: group, |hi| ≤ ~2e3 (for 1e-4-dollar revenue/profit units) wraps past
+#: 4.6e15 rows per group — both far beyond 100 TB (SF100k ≈ 6e11 rows).
+#: Spark's `div`/`%` pair satisfies v = (v div b)*b + v % b for negative
+#: values too (both truncate toward zero), so profit-style signed amounts
+#: recombine exactly.
+_MONEY_RADIX = 1_000_000
+
+
+def money_sum_aggs(col: str) -> list[Column]:
+    """Two overflow-safe partial aggregates for an integer-money column.
+
+    Use inside ``.agg(*money_sum_aggs("rev_c"), ...)``; recombine with
+    :func:`money_sum_total`.  The per-row div/mod runs inside the partial
+    aggregate projection (codegen'd long ops, no extra row materialization)
+    and the shuffle carries two longs per group per map partition.
+    """
+    return [
+        F.sum(F.expr(f"{col} div {_MONEY_RADIX}")).alias(f"__{col}_hi"),
+        F.sum(F.expr(f"{col} % {_MONEY_RADIX}")).alias(f"__{col}_lo"),
+    ]
+
+
+def money_sum_total(col: str, scale: float = 10000.0) -> Column:
+    """Exact recombined money total as DOUBLE dollars.
+
+    DECIMAL(38,0) recombination is exact at any SF; the one double cast at
+    the end matches the oracle's ``CAST(SUM(...) AS BIGINT) / 10000.0``
+    bit-for-bit while the total fits 2^53 (every tested SF), and at
+    larger totals both engines round the same nearest-double way.
+    """
+    exact = (
+        F.col(f"__{col}_hi").cast("decimal(38,0)") * _MONEY_RADIX
+        + F.col(f"__{col}_lo")
+    )
+    return exact.cast("double") / scale

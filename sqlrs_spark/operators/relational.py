@@ -17,7 +17,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sqlrs_spark.operators.common import as_double, dec2, rev_cents, t
+from sqlrs_spark.operators.common import (
+    as_double,
+    dec2,
+    money_sum_aggs,
+    money_sum_total,
+    rev_cents,
+    t,
+)
 from sqlrs_spark.registry import register
 
 
@@ -341,9 +348,11 @@ def q03_shipping_priority(spark, sf_dir):
     return (
         li.join(ordc, li.l_orderkey == ordc.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg((F.sum("rev_c") / 10000.0).alias("revenue"))
+        .agg(*money_sum_aggs("rev_c"))
         .select(
-            "l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate")
+            "l_orderkey",
+            money_sum_total("rev_c").alias("revenue"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -391,9 +400,18 @@ def q05_local_volume(spark, sf_dir):
     (l_suppkey, c_nationkey)=(s_suppkey, s_nationkey) pair exercises
     multi-pair JoinCondition::On (src/binder/table/join.rs:40-48).
     """
+    return q05_plan(spark, sf_dir)
+
+
+def q05_plan(spark, sf_dir, orders_src=None, li_src=None):
+    """q05's plan, with optional orders/lineitem source overrides so the
+    scaled bench can run the IDENTICAL query through the bucketed layout
+    (sources/bucketing.ensure_bucketed_facts): a bucketed scan reports
+    the orderkey hash partitioning, so the one wide fact-fact exchange
+    disappears and only the supplier join shuffles."""
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = (
-        t(spark, sf_dir, "orders")
+        (orders_src if orders_src is not None else t(spark, sf_dir, "orders"))
         .filter(
             (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
@@ -404,7 +422,7 @@ def q05_local_volume(spark, sf_dir):
     # exchange: the widest shuffle carries (l_orderkey, l_suppkey, rev_c)
     # — 3 longs — instead of two money doubles that would then feed a
     # decimal aggregate (see common.cents; 28.4s -> 5.7s on q01's agg)
-    li = t(spark, sf_dir, "lineitem").select(
+    li = (li_src if li_src is not None else t(spark, sf_dir, "lineitem")).select(
         "l_orderkey", "l_suppkey", rev_cents().alias("rev_c")
     )
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -431,7 +449,8 @@ def q05_local_volume(spark, sf_dir):
             supp.s_nationkey == nat_asia.n_nationkey,
         )
         .groupBy("n_name")
-        .agg((F.sum("rev_c") / 10000.0).alias("revenue"))
+        .agg(*money_sum_aggs("rev_c"))
+        .select("n_name", money_sum_total("rev_c").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
