@@ -547,7 +547,21 @@ def t09_unicode_clean(spark, sf_dir):
     the value hash proves the two Unicode implementations agree on the
     corpus; adversarial composed/decomposed/ligature cases are pinned in
     tests/test_unicode_robustness.py.
+
+    ASCII fast path (round-2 perf-weak fix — t09 was 3.9x DuckDB at the
+    1000x replica because EVERY row crossed the Arrow boundary): rows of
+    pure printable ASCII ([\\x20-\\x7e]) are NFC-invariant and contain no
+    control/zero-width/BOM characters, so their whole clean contract
+    collapses to collapse-space-runs + trim — pure codegen'd JVM
+    regexp_replace.  Only the non-ASCII remainder is handed to the pandas
+    UDF; the UDF input is NULLed for fast-path rows (Spark evaluates
+    ArrowEvalPython eagerly for all rows regardless of the CASE branch,
+    so nulling the argument — not just branching around the call — is
+    what keeps the text bytes off the Arrow boundary).  On mostly-ASCII
+    corpora this removes almost all Python-side work; the unicode-
+    adversarial suite still routes its non-ASCII cases through Python.
     """
+    from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
@@ -559,6 +573,8 @@ def t09_unicode_clean(spark, sf_dir):
         ws = re.compile("[ \t\n\r]+")
 
         def one(x):
+            if x is None:  # fast-path row: cleaned JVM-side
+                return None
             x = unicodedata.normalize("NFC", x)
             x = ctrl.sub("", x)
             x = ws.sub(" ", x)
@@ -567,7 +583,12 @@ def t09_unicode_clean(spark, sf_dir):
         return s.map(one)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    cleaned = docs.select("doc_id", "text", clean_udf("text").alias("ctext"))
+    is_ascii = F.col("text").rlike("^[\\x20-\\x7e]*$")
+    fast = F.trim(F.regexp_replace("text", " +", " "))
+    slow = clean_udf(F.when(~is_ascii, F.col("text")))
+    cleaned = docs.select(
+        "doc_id", "text", F.when(is_ascii, fast).otherwise(slow).alias("ctext")
+    )
     cleaned.createOrReplaceTempView("__t09_cleaned")
     return spark.sql(
         f"""
