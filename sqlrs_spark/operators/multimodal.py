@@ -368,18 +368,28 @@ def m04_resize(spark, sf_dir):
 
 
 _M05_HAMMING_T = 6
+_M05_EVERY = 50  # docs with doc_id % 50 == 0 get a planted near-dup twin
+_M05_OFF = 1 << 50  # twin id offset — far above any replica's key stride
 
 
 @register(
     "m05_image_neardup",
-    # On md5-patterned fixtures, dHashes of distinct texts are pairwise-
-    # independent random 64-bit words: P(Hamming <= 6) ~ 5e-12 per pair,
-    # and candidates must additionally share a 16-bit band.  So near-dup
-    # == exact-dup on THIS corpus, and the oracle is the md5-equality
-    # pair set — the real near-dup sensitivity (perturbed pixels within
-    # a few bits) is pinned in tests/test_multimodal_decode.py on
-    # constructed images.
-    oracle="""
+    # The fixture PLANTS near-dup pairs (round-2 finding: 0-vs-0 rows was
+    # a vacuous hash match): every doc_id % 50 == 0 gets a twin image
+    # whose first pixel-block row is re-authored to flip EXACTLY
+    # (doc_id/50) % 4 dHash bits, all inside one 16-bit band, so (a) the
+    # pair is guaranteed to surface through the band join (3 of 4 bands
+    # identical) and (b) the Hamming distance the pipeline must report is
+    # a closed-form function of doc_id the oracle states without decoding
+    # anything.  md5-equal text pairs (none in this corpus — their
+    # absence is what makes the second clause exact alongside the planted
+    # set) would additionally surface as Hamming-0 base pairs.
+    oracle=f"""
+    SELECT doc_id                         AS doc_a,
+           doc_id + {_M05_OFF}            AS doc_b,
+           CAST((doc_id // {_M05_EVERY}) % 4 AS INT) AS hamming
+    FROM documents WHERE doc_id % {_M05_EVERY} = 0
+    UNION ALL
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INT) AS hamming
     FROM documents a JOIN documents b
       ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
@@ -389,10 +399,21 @@ _M05_HAMMING_T = 6
 )
 def m05_image_neardup(spark, sf_dir):
     """Image near-dup detection over REAL decoded pixels: render each doc
-    a deterministic 18x16 grayscale PNG (md5-expanded pattern), run the
-    full decode → integer-luma → 9x8 grid → 64-bit dHash pipeline
-    (functions/imaging.dhash64), then LSH-band the hash (4 x 16-bit
-    bands) and keep candidate pairs within Hamming <= 6.
+    a deterministic 18x16 grayscale PNG (md5-expanded pattern with a
+    controlled first block-row), run the full decode → integer-luma →
+    9x8 grid → 64-bit dHash pipeline (functions/imaging.dhash64), then
+    LSH-band the hash (4 x 16-bit bands) and keep candidate pairs within
+    Hamming <= 6.
+
+    Planted twins (see oracle note): every 50th doc also renders a
+    perturbed copy under id doc_id + 2^50.  The perturbation rewrites the
+    top 2-pixel row of blocks — base images carry a strictly-decreasing
+    ramp (all 8 row-0 comparisons true), twins an ascending prefix of
+    length f = (doc_id/50) % 4 — so the twin's dHash differs in exactly
+    f bits, all within band 3, while the other 3 bands (48 bits of
+    md5-noise rows) are untouched.  The driver hash therefore covers
+    true non-identical-byte near-dup discovery end to end: different
+    PNGs, real decode, f-bit Hamming, band-join recall.
 
     Scale shape — the multimodal twin of p03's SimHash plan: decode +
     dHash are Arrow-batched per-partition Python (the unavoidable
@@ -404,26 +425,54 @@ def m05_image_neardup(spark, sf_dir):
     from sqlrs_spark.functions.imaging import dhash64, encode_png
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    every, off = _M05_EVERY, _M05_OFF
 
     def to_hash(batches):
         import hashlib as _hashlib
 
         import pandas as _pd
 
+        w, h = 18, 16
+
+        def set_row0(pattern: bytearray, vals) -> None:
+            # write block row gy=0 (pixel rows y=0,1): block gx covers
+            # x = 2gx, 2gx+1 — all 4 pixels set to vals[gx], so the 2x2
+            # integer block mean is exactly vals[gx]
+            for gx in range(9):
+                for x in (2 * gx, 2 * gx + 1):
+                    pattern[x] = vals[gx]
+                    pattern[w + x] = vals[gx]
+
+        def hash_of(pattern: bytes) -> int:
+            hv = dhash64(encode_png(w, h, bytes(pattern), color_type=0))
+            return hv - (1 << 64) if hv >= (1 << 63) else hv  # signed BIGINT
+
         for pdf in batches:
-            hashes = []
-            for text in pdf["text"]:
+            ids, hashes = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
                 seed = _hashlib.md5(text.encode("utf-8")).digest()
                 pattern = bytearray()
                 i = 0
-                while len(pattern) < 18 * 16:
+                while len(pattern) < w * h:
                     pattern += _hashlib.md5(seed + bytes([i])).digest()
                     i += 1
-                png = encode_png(18, 16, bytes(pattern[: 18 * 16]), color_type=0)
-                h = dhash64(png)
-                # store as signed for Spark's BIGINT
-                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
-            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "dhash": hashes})
+                pattern = bytearray(pattern[: w * h])
+                set_row0(pattern, [180 - 20 * gx for gx in range(9)])
+                ids.append(doc_id)
+                hashes.append(hash_of(pattern))
+                if doc_id % every == 0:
+                    f = (doc_id // every) % 4
+                    # ascending prefix flips comparisons 0..f-1; the
+                    # strictly-decreasing tail keeps comparisons f..7 true
+                    vals = [10 + 10 * j for j in range(f + 1)] + [
+                        10 + 10 * f - j for j in range(1, 9 - (f + 1) + 1)
+                    ]
+                    twin = bytearray(pattern)
+                    set_row0(twin, vals)
+                    ids.append(doc_id + off)
+                    hashes.append(hash_of(twin))
+            yield _pd.DataFrame({"doc_id": ids, "dhash": hashes})
 
     hashed = docs.mapInPandas(to_hash, schema="doc_id bigint, dhash bigint")
     hashed.createOrReplaceTempView("__m05_hashed")
