@@ -65,7 +65,16 @@ def x12_asof_join(spark, sf_dir):
     choice is deterministic.  Timestamps exit as epoch micros (BIGINT) to
     stay timezone-proof.
     """
-    ev = t(spark, sf_dir, "events")
+    return x12_plan(spark, sf_dir)
+
+
+def x12_plan(spark, sf_dir, ev_src=None):
+    """x12's plan with an optional events source override: reading events
+    through a user_id-bucketed table (sources/bucketing.ensure_bucketed)
+    lets the scan satisfy the window's hashpartitioning(user_id)
+    requirement, removing the as-of join's one exchange — the bucketed
+    bench variant measures exactly that."""
+    ev = ev_src if ev_src is not None else t(spark, sf_dir, "events")
     views = ev.filter(F.col("event_type") == "view").select(
         F.lit(None).cast("long").alias("event_id"),
         "user_id",

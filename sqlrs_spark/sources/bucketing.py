@@ -21,6 +21,8 @@ with 256 MB files that is O(400k) buckets — pick a power of two so future
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -56,3 +58,57 @@ def bucketed_join_is_shuffle_free(
         .toString()
     )
     return "Exchange" not in plan
+
+
+def ensure_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    source: str,
+    key: str,
+    buckets: int = 32,
+    sort_by: str | None = None,
+) -> str:
+    """Materialize (once per dataset) a bucketed copy of one testdata
+    table; returns the managed table name.
+
+    Table names are versioned by a digest of (sf_dir, source, key,
+    buckets) so different datasets / layouts never collide in the shared
+    warehouse, and an existing table is REUSED: real deployments bucket
+    once at ingest and amortize the layout over every subsequent join —
+    exactly what the reuse models (and what the bucketed bench variant
+    measures: the recurring query cost, not the one-time ETL).
+    """
+    import hashlib
+
+    from sqlrs_spark.sources.tables import load_table
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{source}|{key}|{buckets}|{sort_by}".encode()
+    ).hexdigest()[:10]
+    table = f"{source}_b_{tag}"
+    if not spark.catalog.tableExists(table):
+        # a PREVIOUS session may have left the managed location behind
+        # (bucket metadata lives in the catalog, not the files, so the
+        # stale directory cannot be re-adopted — clear it and rewrite)
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        wh_path = urlparse(warehouse).path or warehouse
+        shutil.rmtree(os.path.join(wh_path, table), ignore_errors=True)
+        write_bucketed(
+            load_table(spark, sf_dir, source), table, key, buckets, sort_by=sort_by
+        )
+    return table
+
+
+def ensure_bucketed_facts(
+    spark: SparkSession, sf_dir: str, buckets: int = 32
+) -> tuple[str, str]:
+    """Bucketed orders/lineitem co-bucketed on the order key — the ETL
+    half of the zero-shuffle fact-fact join (same count on both sides;
+    mismatched counts force a shuffle of the smaller side)."""
+    return (
+        ensure_bucketed(spark, sf_dir, "orders", "o_orderkey", buckets),
+        ensure_bucketed(spark, sf_dir, "lineitem", "l_orderkey", buckets),
+    )

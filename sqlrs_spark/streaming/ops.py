@@ -569,8 +569,11 @@ def s08_stream_foreachbatch_sink(spark, sf_dir):
     normal cluster write per batch); the per-epoch directory layout keeps
     replay overwrites partition-local, never rewriting the whole table.
     """
+    from sqlrs_spark.operators.common import materialize_then_rm
+
     ev = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
     out_dir = tempfile.mkdtemp(prefix="s08_sink_")
+    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_s08_")
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         # idempotent: epoch-keyed path + overwrite; a redelivered epoch
@@ -579,17 +582,22 @@ def s08_stream_foreachbatch_sink(spark, sf_dir):
 
     q = (
         ev.writeStream.foreachBatch(write_epoch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_s08_"))
+        .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     sunk = spark.read.parquet(out_dir).drop("epoch")
-    return (
+    # materialize the (bounded) hourly rollup, then drop the sink +
+    # checkpoint scratch — a fresh mkdtemp pair per invocation otherwise
+    # leaks a full purchase-row copy on every bench/driver rerun
+    return materialize_then_rm(
         sunk.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"))
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
-        .orderBy("hour_start")
+        .orderBy("hour_start"),
+        out_dir,
+        ckpt_dir,
     )

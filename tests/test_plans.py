@@ -311,3 +311,23 @@ def test_x19_single_window_sort(spark, sf_dir):
     df = SPECS["x19_running_windows"].fn(spark, sf_dir)
     s = explain_str(df)
     assert s.count("Window") <= 2, s[:2000]
+
+
+def test_x26_bucketed_join_no_fact_shuffle(spark, sf_dir):
+    # the co-bucketed orders/lineitem scans satisfy the join's
+    # distribution requirement, so with broadcast ruled out (at real SFs
+    # neither fact side fits; at the toy test SF AQE would rightly
+    # broadcast the tiny orders side) the join runs WITHOUT any shuffle
+    # Exchange on either input — the scans themselves report the needed
+    # hash partitioning (Bucketed: true / SelectedBucketsCount)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = SPECS["x26_bucketed_fact_join"].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    join_idx = plan.find("Join")
+    assert join_idx != -1, plan[:2000]
+    assert "Bucketed: true" in plan, plan[:2000]
+    assert "Exchange" not in plan[join_idx:], plan[join_idx:][:2000]

@@ -14,6 +14,7 @@ generated strings stuffed with rewrite-trigger syntax.
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
@@ -164,11 +165,17 @@ def test_copy_options_with_quoted_paren(session, tmp_path):
     p.write_text("id)name\n1)ada\n2)lin\n")
     session.spark.sql("CREATE OR REPLACE TEMP VIEW __cp_schema AS SELECT 1")
     # a killed prior run can leave the managed table's warehouse dir behind
-    # (LOCATION_ALREADY_EXISTS even after DROP) — clear both catalog and dir
+    # (LOCATION_ALREADY_EXISTS even after DROP) — clear both catalog and dir.
+    # Derive the dir from the session's warehouse conf, not a cwd-relative
+    # literal: pytest launched from any other cwd would otherwise silently
+    # skip the cleanup and the flake returns.
     session.spark.sql("DROP TABLE IF EXISTS cp_paren")
     import shutil
+    from urllib.parse import urlparse
 
-    shutil.rmtree("spark-warehouse/cp_paren", ignore_errors=True)
+    warehouse = session.spark.conf.get("spark.sql.warehouse.dir")
+    wh_path = urlparse(warehouse).path or warehouse
+    shutil.rmtree(os.path.join(wh_path, "cp_paren"), ignore_errors=True)
     session.sql("create table cp_paren (id int, name string)")
     session.sql(f"COPY cp_paren FROM '{p}' (DELIMITER ')', HEADER)")
     got = [tuple(r) for r in session.sql("select * from cp_paren order by id").collect()]
