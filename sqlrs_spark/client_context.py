@@ -113,6 +113,19 @@ class ClientContext:
             self._active_token = token
         return PendingQueryResult(self, df, token)
 
+    def prepare(self, sql: str):
+        """Prepare a statement for execute-many with parameter binding —
+        the ActiveQueryContext.prepared slot (query_context.rs:1-32,
+        prepared_statement_data.rs:1-18).  Returns the Session-level
+        PreparedStatement; run it through :meth:`execute_prepared` to get
+        materialized results under this context's job group."""
+        return self.session.prepare(sql)
+
+    def execute_prepared(self, prepared, *args, **params) -> MaterializedQueryResult:
+        """Execute a prepared statement with bound parameters and
+        materialize, interruptible like any pending query."""
+        return self._run(prepared.execute(*args, **params))
+
     def interrupt(self) -> None:
         """Cancel the running execution (the ``interrupted`` AtomicBool,
         rs:22/107): kills this context's Spark job group cluster-wide and

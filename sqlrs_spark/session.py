@@ -74,6 +74,26 @@ def build_spark(
         # modern Spark: SHJ spills since 3.2, and AQE still upgrades to
         # broadcast / splits skewed partitions first.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Runtime bloom-filter join pruning (round-2 verdict #4): when a
+        # filtered dimension joins a fact, inject a bloom filter of the
+        # dim's join keys into the fact scan so non-matching fact rows die
+        # BEFORE the shuffle (q28: p_name LIKE '%red%' cannot reach
+        # lineitem any other way; q05: the date-reduced order set
+        # row-filters lineitem).  The feature is on by default in Spark 4
+        # but the stock thresholds block it at every tested scale:
+        # creation side must be <=10MB (a filtered fact-side dim at the
+        # 1000x replica is hundreds of MB) and the application-side scan
+        # must be >=10GB.  Widen both and let the filter hold up to 16M
+        # creation-side keys (~20MB of bloom bits broadcast — cheap
+        # against the fact-shuffle GBs it saves); keep a 2GB application
+        # floor so toy SFs don't pay the extra creation-side pass.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
+        .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", str(16_000_000))
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "2GB",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -432,6 +452,73 @@ class Session:
                 f"INSERT INTO {m.group('table')} SELECT * FROM __sqlrs_copy_src"
             )
 
+        q = self._rewrite_query(q)
+
+        try:
+            return self.spark.sql(q)
+        except Exception as e:
+            # The reference resolves select-list aliases inside WHERE
+            # (tests/slt/filter.slt `select v1+1 as a from t1 where a >= 2`;
+            # alias map built before WHERE binding,
+            # src/planner_v2/binder/statement/mod.rs:24-37).  Spark does not,
+            # so retry with the alias expression substituted into WHERE.
+            if "UNRESOLVED_COLUMN" in str(e) or "cannot be resolved" in str(e):
+                rq = _rewrite_where_alias(q)
+                if rq is not None:
+                    return self.spark.sql(rq)
+            # The reference binds INSERT VALUES with casts to the target
+            # column types (bind_insert.rs:27-110, e.g. string literals into
+            # a DATE column).  Spark's ANSI store assignment rejects those;
+            # retry with explicit casts.
+            if "CANNOT_SAFELY_CAST" in str(e):
+                rq = self._rewrite_insert_cast(q)
+                if rq is not None:
+                    return self.spark.sql(rq)
+            raise
+
+    def prepare(self, query: str) -> "PreparedStatement":
+        """Prepare-once / execute-many with parameter binding — the second
+        half of the reference's v2 main_entry surface
+        (PreparedStatementData: unbound statement + plan + names/types,
+        src/main_entry/prepared_statement_data.rs:1-18, held on the
+        ActiveQueryContext.prepared slot, query_context.rs:1-32).
+
+        Spark-first mapping: the frontend rewrites run ONCE here (the
+        reference's bind step), the statement is eagerly PARSED so syntax
+        errors surface at prepare time (the reference's unbound_statement
+        parse), and each ``execute(params)`` binds via Spark's
+        parameterized ``spark.sql(sql, args)`` — named ``:name`` or
+        positional ``?`` markers substitute into the PARSED plan, so
+        literal injection is impossible and Catalyst re-optimizes with
+        the actual parameter values (constant folding / pushdown per
+        execution — on a cluster, re-planning a prepared query is cheap;
+        losing pushdown on the bound value is not).
+
+        Statements with session-level side-effect sugar (COPY, show
+        tables, describe, explain) are not preparable — same restriction
+        as the reference, whose prepared path carries a planned
+        statement only.
+        """
+        stmts = [s for s in _split_statements(query) if s.strip()]
+        if len(stmts) != 1:
+            raise ValueError("prepare() takes exactly one statement")
+        q = stmts[0]
+        for pat in (_SHOW_TABLES_RE, _DESCRIBE_RE, _EXPLAIN_RE, _COPY_RE):
+            if pat.match(q):
+                raise ValueError(
+                    "statement is not preparable (frontend command); use sql()"
+                )
+        q = self._rewrite_query(q)
+        try:  # eager parse — syntax errors at prepare time, like the reference
+            self.spark._jsparkSession.sessionState().sqlParser().parsePlan(q)
+        except Exception as e:  # noqa: BLE001 - surface as a prepare error
+            raise ValueError(f"prepare failed to parse: {e}") from None
+        return PreparedStatement(self, q)
+
+    def _rewrite_query(self, q: str) -> str:
+        """The pure string-rewrite portion of the frontend (no execution):
+        read_csv named args, replacement scans, DDL type mapping,
+        sqlrs_tables/columns substitution, OFFSET/LIMIT order."""
         # read_csv('path', header=>true, delim=>'|') inside a query: register
         # the scan as a temp view and substitute the view name.
         def _sub_read_csv(match: re.Match) -> str:
@@ -486,28 +573,7 @@ class Session:
         q = _sub_outside_literals(
             _OFFSET_LIMIT_RE, lambda m: f"limit {m.group('lim')} offset {m.group('off')}", q
         )
-
-        try:
-            return self.spark.sql(q)
-        except Exception as e:
-            # The reference resolves select-list aliases inside WHERE
-            # (tests/slt/filter.slt `select v1+1 as a from t1 where a >= 2`;
-            # alias map built before WHERE binding,
-            # src/planner_v2/binder/statement/mod.rs:24-37).  Spark does not,
-            # so retry with the alias expression substituted into WHERE.
-            if "UNRESOLVED_COLUMN" in str(e) or "cannot be resolved" in str(e):
-                rq = _rewrite_where_alias(q)
-                if rq is not None:
-                    return self.spark.sql(rq)
-            # The reference binds INSERT VALUES with casts to the target
-            # column types (bind_insert.rs:27-110, e.g. string literals into
-            # a DATE column).  Spark's ANSI store assignment rejects those;
-            # retry with explicit casts.
-            if "CANNOT_SAFELY_CAST" in str(e):
-                rq = self._rewrite_insert_cast(q)
-                if rq is not None:
-                    return self.spark.sql(rq)
-            raise
+        return q
 
     def _rewrite_insert_cast(self, q: str) -> str | None:
         """INSERT INTO t VALUES … → INSERT …  SELECT cast(…) FROM VALUES …"""
@@ -566,3 +632,42 @@ def _rewrite_where_alias(q: str) -> str | None:
     if new_w == w:
         return None
     return f"select {sel} from {rest[: wm.end()]}{new_w}{rest[w_end:]}"
+
+
+class PreparedStatement:
+    """A prepared statement: rewritten/parsed once, executed many times with
+    parameter binding (reference: PreparedStatementData,
+    src/main_entry/prepared_statement_data.rs:1-18 — unbound statement +
+    plan + result names/types).
+
+    ``execute(*args)`` binds positional ``?`` markers;
+    ``execute(**params)`` binds named ``:name`` markers.  Both ride
+    Spark's parameterized ``spark.sql(sqlText, args)``: parameters are
+    typed literals substituted into the parsed plan, never string-spliced.
+    Result ``names``/``types`` are captured from the analyzed schema on
+    first execution (Spark cannot fully analyze an unbound parameterized
+    plan; the reference binds parameters before planning, so its
+    names/types exist at prepare time — a documented one-step lag).
+    """
+
+    def __init__(self, session: Session, sql_text: str):
+        self.session = session
+        self.sql_text = sql_text
+        self.names: list[str] | None = None
+        self.types: list[str] | None = None
+
+    def execute(self, *args, **params) -> DataFrame:
+        """Bind parameters and return the result DataFrame (lazy — callers
+        collect; ClientContext.execute_prepared materializes)."""
+        if args and params:
+            raise ValueError("use positional (?) OR named (:name) parameters")
+        bind = list(args) if args else (params or None)
+        df = (
+            self.session.spark.sql(self.sql_text, args=bind)
+            if bind is not None
+            else self.session.spark.sql(self.sql_text)
+        )
+        if self.names is None:
+            self.names = list(df.columns)
+            self.types = [f.dataType.simpleString() for f in df.schema.fields]
+        return df

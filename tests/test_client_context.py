@@ -97,3 +97,66 @@ def test_interrupt_cancels_running_job(ctx):
     assert not t.is_alive(), "collect survived interrupt()"
     assert errors, "interrupted query should raise, not return"
     assert elapsed < 60
+
+
+# ---------------------------------------------------------------------------
+# prepared statements (prepared_statement_data.rs / query_context.rs)
+# ---------------------------------------------------------------------------
+
+
+def test_prepare_execute_many_positional(ctx):
+    ctx.query(
+        "create or replace temp view prep_t as "
+        "select * from values (1, 'a'), (2, 'b'), (3, 'c') as v(id, tag)"
+    )
+    stmt = ctx.prepare("select tag from prep_t where id = ? order by tag")
+    assert ctx.execute_prepared(stmt, 1).rows == [("a",)]
+    assert ctx.execute_prepared(stmt, 3).rows == [("c",)]
+    # names/types captured from the analyzed schema
+    assert stmt.names == ["tag"]
+    assert stmt.types == ["string"]
+
+
+def test_prepare_execute_many_named(ctx):
+    ctx.query(
+        "create or replace temp view prep_n as "
+        "select * from values (1, 10.0), (2, 20.0), (3, 30.0) as v(id, val)"
+    )
+    stmt = ctx.prepare(
+        "select sum(val) as s from prep_n where id >= :lo and id <= :hi"
+    )
+    assert ctx.execute_prepared(stmt, lo=1, hi=2).rows == [(30.0,)]
+    assert ctx.execute_prepared(stmt, lo=2, hi=3).rows == [(50.0,)]
+
+
+def test_prepare_parse_error_is_eager(ctx):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="parse"):
+        ctx.prepare("selec 1")
+
+
+def test_prepare_rejects_frontend_commands(ctx):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not preparable"):
+        ctx.prepare("show tables")
+
+
+def test_prepare_binding_is_not_string_splicing(ctx):
+    """A quote in a bound string must be a literal value, not SQL."""
+    ctx.query(
+        "create or replace temp view prep_inj as "
+        "select * from values ('x''; drop', 1), ('safe', 2) as v(tag, n)"
+    )
+    stmt = ctx.prepare("select n from prep_inj where tag = :t")
+    assert ctx.execute_prepared(stmt, t="x'; drop").rows == [(1,)]
+
+
+def test_prepare_applies_frontend_rewrites(ctx, tmp_path):
+    p = tmp_path / "prep.csv"
+    p.write_text("id,name\n1,ada\n2,lin\n3,tess\n")
+    stmt = ctx.prepare(
+        f"select name from read_csv('{p}', header=>true) where id > ? order by name"
+    )
+    assert ctx.execute_prepared(stmt, 1).rows == [("lin",), ("tess",)]
