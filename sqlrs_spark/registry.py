@@ -53,81 +53,79 @@ def register(
 # (TPC-H shapes q03-q38 etc. — §2 evidence already driver-verified in
 # round 1 — and the rest of the x-extensions) follow in registration
 # order and keep their local pytest oracles.
+# Round-3 curation (VERDICT r2 "Next round" #2): re-verify what CHANGED,
+# verify what NEVER was.  Rotated out: the p/t/s pipeline rows that went
+# green in round 2 and are code-identical since (p01/p03-p17/p19-p23,
+# t01-t08/t10, m01/m02/m04/m06, s01-s07 keep their green r2 rows + the
+# local parity suite).  Rotated in, by reason:
 DRIVER_WINDOW: tuple[str, ...] = (
-    "v10_jsonl_roundtrip",  # round-1's one red row — prove the oracle fix
-    # LLM-pipeline: dedup / sampling / ANN / RAG (p01-p19)
-    "p01_dedup_exact",
-    "p02_dedup_minhash",
-    "p03_dedup_simhash",
-    "p04_dedup_ngram",
-    "p05_dedup_embedding",
-    "p06_ann_bruteforce",
-    "p07_ann_lsh",
-    "p08_ann_ivf",
-    "p09_dedup_clusters",
-    "p10_dedup_canonical",
-    "p11_corpus_pipeline",
-    "p12_stratified_sample",
-    "p13_token_budget_pack",
-    "p14_domain_mix",
-    "p15_ann_multiprobe",
-    "p16_dedup_minhash_capped",
-    "p17_decontaminate",
-    "p18_ann_ivf_kmeans",
-    "p19_rag_prep",
-    "p20_tfidf_terms",
-    "p21_fuzzy_vocab",
-    "p22_temperature_mix",
-    "p23_pps_sample",
-    # text analysis (t01-t07)
-    "t01_token_count",
-    "t02_language_id",
-    "t03_quality_score",
-    "t04_fingerprint",
-    "t05_chunking",
-    "t06_repetition",
-    "t07_pattern_scrub",
-    "t08_quality_rules",
+    # (a) rewritten THIS round or last round after their only driver row —
+    # the hash gate must see the current arithmetic: the integer-cents
+    # money queries (q01/q03/q05/q22/q28 — r1 rows predate the rewrite;
+    # q03/q05/q22/q28 additionally moved to split-radix overflow-safe
+    # sums this round), the q34 cents-struct argmin, the t09 ASCII fast
+    # path, the m03/m05/p18 contract reworks, and the sink round-trips
+    # whose result materialization changed (v09/v10/v12, s08)
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_volume",
+    "q22_volume_shipping",
+    "q28_nation_profit",
+    "q34_min_cost_supplier",
     "t09_unicode_clean",
-    "t10_boilerplate",
-    # multimodal plumbing (m01-m04)
-    "m01_multimodal_meta",
-    "m02_frame_sample",
     "m03_fake_embed",
-    "m04_resize",
     "m05_image_neardup",
-    "m06_audio_windows",
-    # structured streaming (s01-s06)
-    "s01_stream_tumbling",
-    "s02_stream_stateful_sessions",
-    "s03_stream_sliding",
-    "s04_stream_dedup",
-    "s05_stream_static_join",
-    "s06_stream_funnel",
-    "s07_stream_stream_join",
+    "p18_ann_ivf_kmeans",
+    "v09_partitioned_sink",
+    "v10_jsonl_roundtrip",
+    "v12_orc_roundtrip",
     "s08_stream_foreachbatch_sink",
-    # beyond-reference §2.5/§2.7/§2.8 families with no round-1 driver row
-    "x03_set_ops",
-    # (x04_window_topk rotated out: §2.5 window evidence now rides p20's
-    # ROW_NUMBER top-k driver row; x04 keeps its local oracle test)
-    "x05_expressions",
-    # (q01_pricing_summary / q05_local_volume / v03_ddl_roundtrip rotated
-    # out for p23/m06/s08: §2.4 hash agg, §2.3 multi-join and §2.1
-    # DDL/INSERT all carry green round-1 driver rows — q01/q05/v03 among
-    # them — plus slt + oracle-parity coverage, while the three new
-    # pipeline operators would otherwise ship with no driver row at all.
-    # Outer joins q07-q09 likewise keep their green round-1 rows.)
-    # (q13_order_limit_offset rotated out: §2.6 evidence rides q03/q20's
-    # round-1 green rows + test_plans::test_topk_fuses_to_take_ordered)
-    # (q14_agg_distinct rotated out: §2.4 distinct-agg evidence rides
-    # p20's COUNT(DISTINCT doc_id) df pass — a green driver row — plus
-    # q12/q14's round-1 rows)
-    # (q15_date_interval and q19_disjunctive_pred rotated out for
-    # p22/t10: §2.8 date arithmetic and §2.2 Kleene logic both carry
-    # green round-1 driver rows, and x05's CASE/LIKE/IN/BETWEEN driver
-    # row plus time.slt/conjunction_function.slt keep local coverage)
-    # (q21_top_supplier rotated out: uncorrelated scalar subqueries carried
-    # FIVE green round-1 rows — q11/q21/q26/q29/q31)
+    # (b) benched headline queries that never had a driver row (r2 verdict
+    # "What's missing" #1)
+    "x12_asof_join",
+    "x18_funnel",
+    # (c) first-ever driver rows: the remaining never-windowed registry
+    # entries (v11/v12 above, x04, x06-x17, x19-x25) + this round's new
+    # x26 bucketed-layout join
+    "v11_partitioned_write",
+    "x04_window_topk",
+    "x06_rollup",
+    "x07_conditional_pivot",
+    "x08_json_extract",
+    "x09_events_tumbling",
+    "x10_sessionization",
+    "x11_correlated_subquery",
+    "x13_range_join",
+    "x14_quantiles",
+    "x15_approx_sketches",
+    "x16_retention_cohorts",
+    "x17_grouping_sets",
+    "x19_running_windows",
+    "x20_correlated_subqueries",
+    "x21_recursive_cte",
+    "x22_lateral_topn",
+    "x23_unpivot",
+    "x24_dist_windows",
+    "x25_pivot",
+    "x26_bucketed_fact_join",
+    # (d) backfill: bench-set members whose only rows are from r1 (q06,
+    # q25), plus one representative per §2 family so every operator class
+    # keeps a recent hard row (scan/DDL v01/v03, outer join q07, distinct
+    # q12, limit/offset q13, date interval q15, scalar subquery q21,
+    # semi/anti x01/x02, and two heavy pipeline representatives p02/p06)
+    "q06_simple_agg",
+    "q25_large_orders",
+    "v01_values_scan",
+    "v03_ddl_roundtrip",
+    "q07_join_left",
+    "q12_distinct",
+    "q13_order_limit_offset",
+    "q15_date_interval",
+    "q21_top_supplier",
+    "x01_semi_join",
+    "x02_anti_join",
+    "p02_dedup_minhash",
+    "p06_ann_bruteforce",
 )
 
 
