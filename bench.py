@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -86,6 +87,12 @@ def bench_spark(sf_dir: str, cpus: int | None = None, app: str = "sqlrs_spark_be
             # 1000x replica wide outputs (t01: 5M rows) exceed the 1 GiB
             # default and kill the job mid-collect
             "spark.driver.maxResultSize": "6g",
+            # bucketed-layout tables (tools/bench10x.bench_bucketed) are
+            # GBs at the big replicas — keep them out of the repo's cwd
+            # warehouse; they're reused across runs like any ingest layout
+            "spark.sql.warehouse.dir": os.path.join(
+                tempfile.gettempdir(), "sqlrs_warehouse"
+            ),
         },
     )
     import gc

@@ -133,11 +133,51 @@ def bench_duckdb(specs, dst: str) -> dict[str, float]:
     return timings
 
 
+def bench_bucketed(spark, dst: str) -> dict[str, float]:
+    """Time q05/x12 through the bucketed storage layout (round-2 verdict
+    #9): the SAME plans (operators' *_plan builders), reading
+    orders/lineitem co-bucketed on orderkey and events bucketed on
+    user_id — the zero-Exchange fact join / window made measurable at
+    scale.  The one-time ETL write is timed separately (reused across
+    runs via the table-exists check, like any real ingest-time layout).
+    """
+    import gc
+
+    from sqlrs_spark.operators.relational import q05_plan
+    from sqlrs_spark.operators.temporal import x12_plan
+    from sqlrs_spark.sources.bucketing import ensure_bucketed, ensure_bucketed_facts
+
+    t0 = time.perf_counter()
+    orders_t, lineitem_t = ensure_bucketed_facts(spark, dst, buckets=64)
+    events_t = ensure_bucketed(spark, dst, "events", "user_id", buckets=64)
+    etl = time.perf_counter() - t0
+
+    runs = {
+        "q05_local_volume[bucketed]": lambda: q05_plan(
+            spark, dst, spark.table(orders_t), spark.table(lineitem_t)
+        ),
+        "x12_asof_join[bucketed]": lambda: x12_plan(spark, dst, spark.table(events_t)),
+    }
+    timings: dict[str, float] = {"bucketed_etl_once": round(etl, 4)}
+    for name, fn in runs.items():
+        gc.collect()
+        fn().toArrow()  # warm
+        best = float("inf")
+        for _ in range(2):
+            s = time.perf_counter()
+            fn().toArrow()
+            best = min(best, time.perf_counter() - s)
+        timings[name] = round(best, 4)
+        print(f"# {name}: {best:.3f}s", file=sys.stderr)
+    return timings
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, default=2)
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--dir", default=None)
+    ap.add_argument("--skip-bucketed", action="store_true")
     args = ap.parse_args()
     dst = args.dir or f"/tmp/sqlrs_replica{args.factor}x"
 
@@ -149,6 +189,7 @@ def main() -> None:
     builder.stop()
 
     spark, specs, spark_t = bench_spark(dst, app=f"sqlrs_spark_bench{args.factor}x")
+    bucketed_t = {} if args.skip_bucketed else bench_bucketed(spark, dst)
     spark.stop()
     duck_t = bench_duckdb(specs, dst)
 
@@ -170,6 +211,8 @@ def main() -> None:
         "sf": f"~{args.factor / 10:g} ({args.factor}x key-shifted token-salted sf0.1,"
         " multi-file layout)",
     }
+    if bucketed_t:
+        result["bucketed"] = bucketed_t
     line = json.dumps(result)
     print(line)
     out = os.path.join(REPO, f"BENCH{args.factor}X_r{args.round:02d}.json")
