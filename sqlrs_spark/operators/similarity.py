@@ -618,3 +618,77 @@ def p18_ann_ivf_kmeans(spark, sf_dir):
         .select("query_id", F.col("id").alias("neighbor_id"), "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# p24 — int8 embedding quantization (the 4x storage compression every
+# 100 TB embedding store applies before ANN indexing)
+# ---------------------------------------------------------------------------
+
+
+def _p24(spark_dialect: bool) -> str:
+    # Per-vector symmetric int8 quantization: scale = max|x| (exact — max
+    # is order-insensitive), q_i = FLOOR(x/scale*127 + 0.5) in [-127,127]
+    # (FLOOR+0.5 rounding is bit-identical across engines, the cents()
+    # discipline), reconstruction error folded sequentially (the p07
+    # association-order contract).  Zero vectors quantize to all-zero
+    # with scale 0 (guarded divide).
+    if spark_dialect:
+        v = "transform(embedding, x -> cast(x as double))"
+        amax = "aggregate(v, cast(0.0 as double), (a, x) -> greatest(a, abs(x)))"
+        q = (
+            "transform(v, x -> cast(floor(x / s * 127.0 + 0.5) as bigint))"
+        )
+        err_terms = "zip_with(v, q, (x, qi) -> (x - qi * s / 127.0) * (x - qi * s / 127.0))"
+        sq_err = f"aggregate({err_terms}, cast(0.0 as double), (a, e) -> a + e)"
+        qmin, qmax = "array_min(q)", "array_max(q)"
+    else:
+        v = "embedding::DOUBLE[]"
+        amax = "list_max(list_transform(v, x -> abs(x)))"
+        q = "list_transform(v, x -> CAST(FLOOR(x / s * 127.0 + 0.5) AS BIGINT))"
+        err_terms = "list_zip(v, q)"
+        sq_err = (
+            "list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(v, q), "
+            "p -> (p[1] - p[2] * s / 127.0) * (p[1] - p[2] * s / 127.0))), (a, e) -> a + e)"
+        )
+        qmin, qmax = "list_min(q)", "list_max(q)"
+    return f"""
+WITH e AS (
+  SELECT vec_id, {v} AS v FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, v,
+         CASE WHEN {amax} = 0 THEN 1.0 ELSE {amax} END AS s,
+         {amax} AS max_abs
+  FROM e
+),
+quant AS (
+  SELECT vec_id, v, s, max_abs, {q} AS q FROM scaled
+)
+SELECT vec_id,
+       max_abs,
+       CAST({qmin} AS BIGINT) AS q_min,
+       CAST({qmax} AS BIGINT) AS q_max,
+       {sq_err} AS sq_err
+FROM quant
+ORDER BY vec_id
+"""
+
+
+@register("p24_embedding_quant", oracle=_p24(False), tags=("pipeline", "similarity"))
+def p24_embedding_quant(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column with exact
+    reconstruction-error accounting: per-vector scale = max|x|, each dim
+    rounded to [-127, 127] via the FLOOR(x+0.5) discipline, and the
+    squared reconstruction error folded in the engine-shared sequential
+    order so the driver value-hashes every float.
+
+    This is the storage stage a 100 TB embedding corpus runs before ANN
+    indexing (float32 -> int8 is 4x smaller and SIMD-friendlier): a pure
+    map-side projection — NO shuffle, no Python — so it scales with scan
+    bandwidth; the error stats are the quality gate that decides whether
+    int8 recall is acceptable before the index build (composes with
+    p06/p07/p08/p18, which would then score against reconstructed or
+    asymmetric-distance vectors)."""
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(_p24(True))

@@ -670,3 +670,68 @@ def t10_boilerplate(spark, sf_dir):
     """
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_t10(True))
+
+
+# ---------------------------------------------------------------------------
+# t11 — cross-document n-gram novelty (corpus-order first-seen attribution)
+# ---------------------------------------------------------------------------
+
+_T11_NG = 3  # tokens per shingle
+
+
+def _t11(spark_dialect: bool) -> str:
+    # Trigrams hash to 60-bit ints map-side (the t10 discipline: the
+    # shuffles carry (doc_id, 8-byte hash), never token strings); the
+    # first-owner attribution is a plain MIN(doc_id) per hash.
+    from sqlrs_spark.functions.hashing import md5int_duck, md5int_spark
+
+    if spark_dialect:
+        toks = "split(text, ' ')"
+        gram = md5int_spark(f"concat_ws(' ', slice(tk, i, {_T11_NG}))")
+        sh = f"explode(transform(sequence(1, size(tk) - {_T11_NG - 1}), i -> {gram}))"
+        guard = f"size({toks}) >= {_T11_NG}"
+    else:
+        toks = "string_split(text, ' ')"
+        gram = md5int_duck(f"array_to_string(tk[i:i+{_T11_NG - 1}], ' ')")
+        sh = f"unnest(list_transform(range(1, len(tk) - {_T11_NG - 2}), i -> {gram}))"
+        guard = f"len({toks}) >= {_T11_NG}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS tk FROM documents WHERE {guard}
+),
+sh AS (
+  SELECT DISTINCT doc_id, g FROM (SELECT doc_id, {sh} AS g FROM toks) raw
+),
+owner AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g
+)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+       CAST(SUM(CASE WHEN o.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(SUM(CASE WHEN o.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_frac
+FROM sh JOIN owner o ON sh.g = o.g
+GROUP BY sh.doc_id
+ORDER BY sh.doc_id
+"""
+
+
+@register("t11_ngram_novelty", oracle=_t11(False), tags=("pipeline", "text"))
+def t11_ngram_novelty(spark, sf_dir):
+    """Cross-document novelty scoring: the fraction of each document's
+    DISTINCT token trigrams whose corpus-wide first owner (lowest doc_id
+    — ingestion order) is that document.  The standard freshness signal a
+    streaming-ingest curation pipeline uses to down-weight documents that
+    mostly restate earlier ones — t10's boilerplate share asks "how much
+    of me is SHARED"; t11 asks "how much of me arrived FIRST".
+
+    Scale design: trigrams hash to 60-bit ints before the explode, so
+    both shuffles — the per-doc DISTINCT and the first-owner MIN(doc_id)
+    groupBy — move (bigint, bigint) pairs with map-side partial
+    aggregation; the owner set is vocabulary-bounded, and the attribution
+    join is an equi-join on the hash (AQE skew-splits a universal trigram
+    the same way t10's boilerplate join does).  The exact rational
+    novelty fraction rounds at 6 places identically in both engines."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_t11(True))

@@ -108,11 +108,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x24_dist_windows",
     "x25_pivot",
     "x26_bucketed_fact_join",
-    # (d) backfill: bench-set members whose only rows are from r1 (q06,
+    # (d) NEW operators this round — int8 embedding quantization and
+    # cross-doc n-gram novelty (first driver rows)
+    "p24_embedding_quant",
+    "t11_ngram_novelty",
+    # (e) backfill: bench-set members whose only rows are from r1 (q06,
     # q25), plus one representative per §2 family so every operator class
     # keeps a recent hard row (scan/DDL v01/v03, outer join q07, distinct
     # q12, limit/offset q13, date interval q15, scalar subquery q21,
-    # semi/anti x01/x02, and two heavy pipeline representatives p02/p06)
+    # semi/anti x01/x02)
     "q06_simple_agg",
     "q25_large_orders",
     "v01_values_scan",
@@ -124,8 +128,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q21_top_supplier",
     "x01_semi_join",
     "x02_anti_join",
-    "p02_dedup_minhash",
-    "p06_ann_bruteforce",
 )
 
 

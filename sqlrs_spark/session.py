@@ -75,28 +75,32 @@ def build_spark(
         # broadcast / splits skewed partitions first.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         # Runtime bloom-filter join pruning (round-2 verdict #4): when a
-        # filtered dimension joins a fact, inject a bloom filter of the
-        # dim's join keys into the fact scan so non-matching fact rows die
-        # BEFORE the shuffle (q28: p_name LIKE '%red%' cannot reach
-        # lineitem any other way; q05: the date-reduced order set
-        # row-filters lineitem).  The feature is on by default in Spark 4
-        # but the stock thresholds block it at every tested scale:
-        # creation side must be <=10MB (a filtered fact-side dim at the
-        # 1000x replica is hundreds of MB) and the application-side scan
-        # must be >=10GB.  Widen both and let the filter hold up to 16M
-        # creation-side keys (~20MB of bloom bits broadcast — cheap
-        # against the fact-shuffle GBs it saves); keep a 2GB application
-        # floor so toy SFs don't pay the extra creation-side pass.
+        # SELECTIVELY filtered dimension joins a fact, inject a bloom
+        # filter of the dim's join keys into the fact scan so
+        # non-matching fact rows die BEFORE the shuffle (q28: p_name
+        # LIKE '%red%' keeps ~13% of part and cannot reach lineitem any
+        # other way).  The feature is on by default in Spark 4 but the
+        # stock thresholds block it at every tested scale: creation side
+        # must be <=10MB and the application-side scan >=10GB.  Widen
+        # carefully — a 512MB/16M-key first attempt let q03's barely-
+        # selective date filter (97% of orders) inject a saturated,
+        # useless bloom whose per-task 16M-item build buffers OOMed the
+        # 1000x bench: 128MB/4M keys admits genuinely selective dims
+        # (q28's 2.6M filtered part keys at ~sf100) while number-heavy
+        # creation sides stay blocked; the 2GB application floor keeps
+        # toy SFs from paying the extra creation-side pass.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
-        .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", str(16_000_000))
+        .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "128MB")
         .config(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             "2GB",
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g on a 128 GiB box: 32 concurrent local tasks × (shuffle sort
+        # pages + hash-join builds + bloom aggregate buffers) blew an 8g
+        # heap at the 1000x replica once runtime filters landed
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     if jvm_extension and os.path.exists(EXTENSION_JAR):
@@ -661,6 +665,11 @@ class PreparedStatement:
         collect; ClientContext.execute_prepared materializes)."""
         if args and params:
             raise ValueError("use positional (?) OR named (:name) parameters")
+        # DB-API convention: execute([v1, v2]) is the whole positional
+        # sequence, same as execute(v1, v2).  (To pass a literal array as
+        # the single ? value, wrap it once more: execute([[1, 2, 3]]).)
+        if len(args) == 1 and isinstance(args[0], (list, tuple)):
+            args = tuple(args[0])
         bind = list(args) if args else (params or None)
         df = (
             self.session.spark.sql(self.sql_text, args=bind)
