@@ -128,7 +128,18 @@ def q28_nation_profit(spark, sf_dir):
     partial-agg order cannot perturb the result, same as the decimal
     path, at a fraction of its cost.
     """
-    li = t(spark, sf_dir, "lineitem").select(
+    return q28_plan(spark, sf_dir)
+
+
+def q28_plan(spark, sf_dir, orders_src=None, li_src=None):
+    """q28's plan, with optional orders/lineitem source overrides so the
+    scaled bench can run the IDENTICAL query through the bucketed layout:
+    when part/supplier/nation broadcast (AQE's call — they are filtered /
+    small relative to the fact), lineitem's orderkey bucket partitioning
+    SURVIVES those joins, so the final fact-fact join runs with zero
+    Exchange on both sides; even when a dim join shuffles, the bucketed
+    orders scan still elides its own Exchange."""
+    li = (li_src if li_src is not None else t(spark, sf_dir, "lineitem")).select(
         "l_partkey", "l_suppkey", "l_orderkey", rev_cents().alias("rev_c"),
         cents("l_quantity").alias("qty_c"),
     )
@@ -136,7 +147,9 @@ def q28_nation_profit(spark, sf_dir):
         "p_partkey", cents("p_retailprice").alias("rp_c")
     )
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    orders = (
+        orders_src if orders_src is not None else t(spark, sf_dir, "orders")
+    ).select("o_orderkey", "o_orderdate")
     nation = t(spark, sf_dir, "nation")
     amount_c = F.col("rev_c") - F.col("rp_c") * F.col("qty_c")
     return (

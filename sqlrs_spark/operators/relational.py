@@ -325,20 +325,30 @@ def q03_shipping_priority(spark, sf_dir):
     SF and a shuffle join once customer outgrows the threshold;
     ORDER+LIMIT fuses to TakeOrderedAndProject (SURVEY §2.6).
     """
+    return q03_plan(spark, sf_dir)
+
+
+def q03_plan(spark, sf_dir, orders_src=None, li_src=None):
+    """q03's plan, with optional orders/lineitem source overrides so the
+    scaled bench can run the IDENTICAL query through the bucketed layout:
+    lineitem — the widest shuffle of this plan — arrives at the orderkey
+    join already hash-partitioned by the bucketed scan, so its Exchange
+    disappears and only the (much smaller) date+segment-reduced order
+    set moves."""
     cust = (
         t(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
     orders = (
-        t(spark, sf_dir, "orders")
+        (orders_src if orders_src is not None else t(spark, sf_dir, "orders"))
         .filter(F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp"))
         .select("o_orderkey", "o_custkey", "o_orderdate")
     )
     # revenue collapses to ONE BIGINT before the exchange (common.cents):
     # the lineitem shuffle carries (l_orderkey, rev_c) — two longs
     li = (
-        t(spark, sf_dir, "lineitem")
+        (li_src if li_src is not None else t(spark, sf_dir, "lineitem"))
         .filter(F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp"))
         .select("l_orderkey", rev_cents().alias("rev_c"))
     )

@@ -143,7 +143,8 @@ def bench_bucketed(spark, dst: str) -> dict[str, float]:
     """
     import gc
 
-    from sqlrs_spark.operators.relational import q05_plan
+    from sqlrs_spark.operators.analytics_deep import q28_plan
+    from sqlrs_spark.operators.relational import q03_plan, q05_plan
     from sqlrs_spark.operators.temporal import x12_plan
     from sqlrs_spark.sources.bucketing import ensure_bucketed, ensure_bucketed_facts
 
@@ -152,8 +153,18 @@ def bench_bucketed(spark, dst: str) -> dict[str, float]:
     events_t = ensure_bucketed(spark, dst, "events", "user_id", buckets=64)
     etl = time.perf_counter() - t0
 
+    # q34 is intentionally ABSENT: its wide shuffle keys on l_partkey,
+    # and a table buckets one way — the orderkey layout that serves
+    # q03/q05/q28 cannot also serve a partkey agg (the real single-layout
+    # tradeoff; a second partkey-bucketed copy would double storage).
     runs = {
+        "q03_shipping_priority[bucketed]": lambda: q03_plan(
+            spark, dst, spark.table(orders_t), spark.table(lineitem_t)
+        ),
         "q05_local_volume[bucketed]": lambda: q05_plan(
+            spark, dst, spark.table(orders_t), spark.table(lineitem_t)
+        ),
+        "q28_nation_profit[bucketed]": lambda: q28_plan(
             spark, dst, spark.table(orders_t), spark.table(lineitem_t)
         ),
         "x12_asof_join[bucketed]": lambda: x12_plan(spark, dst, spark.table(events_t)),
