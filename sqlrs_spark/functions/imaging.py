@@ -213,7 +213,43 @@ def dhash64(payload: bytes) -> int:
     integer block mean → one bit per horizontally adjacent cell pair
     (left > right).  Images that differ by small noise/brightness shifts
     land within a few bits; unrelated images differ in ~32 of 64.
+
+    Vectorized with numpy — per-pixel work is array ops (the per-pixel
+    Python loop was fine for 16x16 fixtures but not megapixel images);
+    all arithmetic stays integer, so the bits are identical to
+    :func:`_dhash64_scalar` (pinned by test) and the m05 closed-form
+    Hamming oracle keeps holding.
     """
+    import numpy as np
+
+    width, height, px = decode_image(payload)
+    bpp = len(px) // (width * height)
+    a = np.frombuffer(bytes(px), dtype=np.uint8)[: height * width * bpp].reshape(
+        height, width, bpp
+    )
+    if bpp >= 3:
+        rgb = a[:, :, :3].astype(np.int64)
+        luma = (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
+    else:
+        luma = a[:, :, 0].astype(np.int64)
+    gw, gh = 9, 8
+    bw, bh = max(width // gw, 1), max(height // gh, 1)
+    grid = np.zeros((gh, gw), dtype=np.int64)
+    for gy in range(gh):
+        ys = luma[gy * bh : min((gy + 1) * bh, height)]
+        for gx in range(gw):
+            blk = ys[:, gx * bw : min((gx + 1) * bw, width)]
+            grid[gy, gx] = blk.sum() // max(blk.size, 1)
+    bits = 0
+    for gy in range(gh):
+        for gx in range(gw - 1):
+            bits = (bits << 1) | (1 if grid[gy, gx] > grid[gy, gx + 1] else 0)
+    return bits
+
+
+def _dhash64_scalar(payload: bytes) -> int:
+    """Pure-Python reference for :func:`dhash64` — kept as the exactness
+    pin: the numpy path must produce identical 64 bits on any image."""
     width, height, px = decode_image(payload)
     bpp = len(px) // (width * height)
     # integer luma per pixel (gray/palette: the single channel; drop alpha)

@@ -327,3 +327,61 @@ def p23_pps_sample(spark, sf_dir):
 
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_p23(True))
+
+
+# ---------------------------------------------------------------------------
+# p25 — deterministic stratified train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+
+def _p25(spark_dialect: bool) -> str:
+    # Per-doc draw in [0, 10000): a salted md5 hash INDEPENDENT of the
+    # p12 sampling draw (different input string — "split:<id>" — so split
+    # membership never correlates with sampling keeps) and of content
+    # (id-keyed, so a fixed doc keeps its split across corpus re-crawls).
+    # 9800/100/100 = train/val/test per source stratum.
+    from sqlrs_spark.functions.hashing import h31_duck, h31_spark
+
+    if spark_dialect:
+        key = "concat('split:', cast(doc_id as string))"
+        draw = f"pmod({h31_spark(key)}, 10000)"
+    else:
+        key = "'split:' || doc_id::VARCHAR"
+        draw = f"(({h31_duck(key)}) % 10000)"
+    return f"""
+WITH assigned AS (
+  SELECT source, n_chars,
+         CASE WHEN {draw} < 9800 THEN 'train'
+              WHEN {draw} < 9900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM assigned
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+@register("p25_split_assign", oracle=_p25(False), tags=("pipeline", "sampling"))
+def p25_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split assignment (98/1/1 per source)
+    with the per-(source, split) audit summary every corpus release ships.
+
+    The split is a pure function of the document id — a salted hash draw
+    (`md5('split:'||id) mod 10000`), disjoint from the p12 sampling draw
+    — so (a) reruns, retried tasks, and both engines assign identically,
+    (b) a document can never migrate between train and test across
+    pipeline versions (the leakage mode id-independent randomness
+    invites), and (c) membership is decidable row-locally at 100 TB: the
+    assignment is a codegen projection with NO shuffle; only the
+    audit aggregate (source x split, tiny) exchanges.  Composes with
+    p17's near-dup decontamination, which removes train docs that
+    collide with held-out content this hash-split placed in val/test.
+    """
+    from sqlrs_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_p25(True))

@@ -112,6 +112,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # cross-doc n-gram novelty (first driver rows)
     "p24_embedding_quant",
     "t11_ngram_novelty",
+    "p25_split_assign",
     # (e) backfill: bench-set members whose only rows are from r1 (q06,
     # q25), plus one representative per §2 family so every operator class
     # keeps a recent hard row (scan/DDL v01/v03, outer join q07, distinct

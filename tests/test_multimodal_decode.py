@@ -235,3 +235,18 @@ class TestDHash:
         b, _ = self._noise_png(4)
         ham = bin(dhash64(a) ^ dhash64(b)).count("1")
         assert ham > 12, ham
+
+
+@pytest.mark.parametrize(
+    "w,h,color_type",
+    [(16, 16, 2), (37, 23, 2), (9, 8, 0), (64, 48, 6), (13, 29, 0), (200, 150, 2)],
+)
+def test_dhash64_numpy_matches_scalar(w, h, color_type):
+    """The vectorized dhash must be bit-identical to the pure-Python
+    reference on every shape class: RGB/gray/RGBA, grid-divisible and
+    ragged dims (m05's closed-form Hamming oracle depends on the bits)."""
+    from sqlrs_spark.functions.imaging import _dhash64_scalar, dhash64
+
+    bpp = {0: 1, 2: 3, 6: 4}[color_type]
+    png = encode_png(w, h, _pixels(w, h, bpp, seed=w * h), color_type)
+    assert dhash64(png) == _dhash64_scalar(png)

@@ -189,8 +189,15 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--dir", default=None)
     ap.add_argument("--skip-bucketed", action="store_true")
+    ap.add_argument(
+        "--only-bucketed",
+        action="store_true",
+        help="re-time only the bucketed-layout section and merge it into the"
+        " existing BENCH{factor}X_r{round}.json (plain-layout numbers kept)",
+    )
     args = ap.parse_args()
     dst = args.dir or f"/tmp/sqlrs_replica{args.factor}x"
+    out = os.path.join(REPO, f"BENCH{args.factor}X_r{args.round:02d}.json")
 
     from bench import bench_spark
     from sqlrs_spark.session import build_spark
@@ -198,6 +205,19 @@ def main() -> None:
     builder = build_spark("sqlrs_replica_build")
     build_replica(builder, dst, args.factor)
     builder.stop()
+
+    if args.only_bucketed:
+        spark = build_spark(f"sqlrs_spark_bench{args.factor}x_bucketed")
+        bucketed_t = bench_bucketed(spark, dst)
+        spark.stop()
+        with open(out) as f:
+            result = json.load(f)
+        result["bucketed"] = bucketed_t
+        print(json.dumps(result))
+        with open(out, "w") as f:
+            f.write(json.dumps(result, indent=2) + "\n")
+        print(f"# wrote {out} (bucketed section only)", file=sys.stderr)
+        return
 
     spark, specs, spark_t = bench_spark(dst, app=f"sqlrs_spark_bench{args.factor}x")
     bucketed_t = {} if args.skip_bucketed else bench_bucketed(spark, dst)
@@ -226,7 +246,6 @@ def main() -> None:
         result["bucketed"] = bucketed_t
     line = json.dumps(result)
     print(line)
-    out = os.path.join(REPO, f"BENCH{args.factor}X_r{args.round:02d}.json")
     with open(out, "w") as f:
         f.write(json.dumps(result, indent=2) + "\n")
     print(f"# wrote {out}", file=sys.stderr)
