@@ -117,7 +117,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # q25), plus one representative per §2 family so every operator class
     # keeps a recent hard row (scan/DDL v01/v03, outer join q07, distinct
     # q12, limit/offset q13, date interval q15, scalar subquery q21,
-    # semi/anti x01/x02)
+    # semi/anti x01 — x02 is code-identical since its green r1 row)
     "q06_simple_agg",
     "q25_large_orders",
     "v01_values_scan",
@@ -128,7 +128,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q15_date_interval",
     "q21_top_supplier",
     "x01_semi_join",
-    "x02_anti_join",
 )
 
 
