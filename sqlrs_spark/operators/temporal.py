@@ -10,11 +10,11 @@ layer: event attribution, banding, distribution stats.
 
 Scale design:
 - as-of join: the naive formulation (pair join on key + time predicate +
-  argmax) is O(matching pairs) and explodes on hot keys.  The union+window
-  formulation used here is O(n log n) within each key partition: one
-  shuffle of both inputs keyed by user, a per-key sort, and a running
-  `last(..., ignorenulls)` — no pair materialization, skew bounded by the
-  hottest single user.
+  argmax) is O(matching pairs) and explodes on hot keys.  The tagged-window
+  formulation used here is O(n log n) within each key partition: ONE scan
+  projects both roles via CASE, one shuffle keyed by user, a per-key sort,
+  and a running `last(..., ignorenulls)` — no pair materialization, skew
+  bounded by the hottest single user.
 - range join: the band table is tiny and static → broadcast nested-loop
   with the range predicate is the right plan at any fact size (each row
   probes B bands; no shuffle).  For *large* range tables the scale path is
@@ -57,8 +57,8 @@ def x12_asof_join(spark, sf_dir):
     """As-of join: for every click, the most recent view (ts <= click ts)
     by the same user — the DuckDB `ASOF JOIN` arbitrates correctness.
 
-    Implementation is the union+window formulation (see module docstring):
-    tag views 0 / clicks 1, sort within user by (ts, tag) so an
+    Implementation is the tagged-window formulation (see module docstring):
+    one scan tags views 0 / clicks 1 via CASE projections, sort within user by (ts, tag) so an
     equal-timestamp view sorts before the click (<= semantics), and carry
     the last non-null view value/ts forward.  (user_id, ts) pairs are
     unique in the event stream at microsecond precision, so the as-of
@@ -75,23 +75,20 @@ def x12_plan(spark, sf_dir, ev_src=None):
     requirement, removing the as-of join's one exchange — the bucketed
     bench variant measures exactly that."""
     ev = ev_src if ev_src is not None else t(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").select(
-        F.lit(None).cast("long").alias("event_id"),
+    # ONE scan, not a union of two: the tag/branch columns are CASE
+    # projections over a single pass, so events is read once (the union
+    # formulation scanned it twice) and the scan's partitioning survives
+    # into the window — through a user_id-bucketed source the exchange
+    # disappears entirely (Union discards children's partitioning, so the
+    # two-scan form re-shuffled even bucketed input).
+    is_click = F.col("event_type") == "click"
+    tagged = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.when(is_click, F.col("event_id")).alias("event_id"),
         "user_id",
         "ts",
-        F.lit(0).alias("tag"),
-        F.col("value").alias("view_value"),
-        F.col("ts").alias("view_ts"),
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.lit(1).alias("tag"),
-        F.lit(None).cast("double").alias("view_value"),
-        # match ts's concrete type (TIMESTAMP_NTZ from naive parquet) so the
-        # union doesn't force an LTZ coercion on the views branch
-        F.lit(None).cast(ev.schema["ts"].dataType).alias("view_ts"),
+        is_click.cast("int").alias("tag"),
+        F.when(~is_click, F.col("value")).alias("view_value"),
+        F.when(~is_click, F.col("ts")).alias("view_ts"),
     )
     win = (
         W.partitionBy("user_id")
@@ -99,7 +96,7 @@ def x12_plan(spark, sf_dir, ev_src=None):
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
-        views.unionByName(clicks)
+        tagged
         .withColumn("asof_value", F.last("view_value", ignorenulls=True).over(win))
         .withColumn("asof_ts", F.last("view_ts", ignorenulls=True).over(win))
         .filter(F.col("tag") == 1)

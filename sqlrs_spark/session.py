@@ -95,6 +95,16 @@ def build_spark(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             "2GB",
         )
+        # Trust per-bucket sort order on bucketed scans (off by default
+        # since Spark 3.0, SPARK-28169): sources/bucketing writes exactly
+        # one sorted file per bucket (repartition-by-bucket-key before a
+        # sortBy write), which is the one layout where the pre-3.0
+        # behavior is sound — the scan then satisfies a sort-merge join's
+        # ordering requirement and the join runs with zero Exchange AND
+        # zero Sort.  The flag only reports ordering when the per-bucket
+        # single-file check holds, so foreign multi-file buckets are
+        # unaffected.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 16g on a 128 GiB box: 32 concurrent local tasks × (shuffle sort
@@ -128,6 +138,7 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
     }.items():
         try:
             spark.conf.set(k, v)

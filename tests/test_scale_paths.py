@@ -44,6 +44,30 @@ def test_bucketed_fact_join_no_shuffle(spark, bucketed_tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
+def test_sorted_bucketed_join_no_sort(spark, bucketed_tables):
+    """Sorted one-file-per-bucket writes must elide the SMJ's runtime
+    sorts too — the layout's whole point is paying the sort once at
+    ingest (at the 1000x replica the unsorted-bucket q28 still spent most
+    of its time sorting 150M orders + 77M lineitem rows per query)."""
+    left, right = bucketed_tables
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            spark.table(left)
+            .join(spark.table(right), F.col("o_orderkey") == F.col("l_orderkey"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        import re
+
+        assert "Exchange" not in plan, plan
+        # match the Sort NODE, not the "Sort" inside "SortMergeJoin"
+        assert not re.search(r"\bSort \[", plan), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
 def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
     left, right = bucketed_tables
     plain = (
