@@ -150,6 +150,13 @@ def q28_plan(spark, sf_dir, orders_src=None, li_src=None):
     orders = (
         orders_src if orders_src is not None else t(spark, sf_dir, "orders")
     ).select("o_orderkey", "o_orderdate")
+    if orders_src is not None:
+        # bucketed path: both fact sides arrive hash-partitioned AND
+        # sorted on the order key, so a merge join is exchange-free and
+        # sort-free — strictly better than the session's shuffled-hash
+        # preference, whose per-bucket build (150M orders / 64 buckets)
+        # cannot fit 32 concurrent task memory shares at the 1000x replica
+        orders = orders.hint("merge")
     nation = t(spark, sf_dir, "nation")
     amount_c = F.col("rev_c") - F.col("rp_c") * F.col("qty_c")
     return (
