@@ -28,10 +28,14 @@ from sqlrs_spark.operators.common import (
     as_double,
     cents,
     dec2,
+    measured_broadcast,
     money_sum_aggs,
     money_sum_total,
+    packed_minmax,
     rev_cents,
     t,
+    unpack_id,
+    unpack_value,
 )
 from sqlrs_spark.registry import register
 
@@ -439,42 +443,48 @@ def q34_min_cost_supplier(spark, sf_dir):
 
     Reference ops: correlated-min subquery decorrelated to an agg +
     join-back (the oracle SQL spells that two-phase form out).  Spark
-    plan: ONE shuffle total — min(struct(price, suppkey)) is a partial-
-    aggregable lexicographic argmin, so the agg+join-back+re-agg of the
-    SQL formulation collapses to a single groupBy (same trick as
-    p10_dedup_canonical); part (p_size pushed) and supplier are AQE's
-    call — no forced hints on SF-scaling tables.  The struct key is
-    BIGINT cents, not DECIMAL(18,2): the per-row comparisons inside the
-    partial argmin are plain long compares (the q01 integer-cents
-    treatment applied to an argmin — DECIMAL struct compares were 5.8x
-    DuckDB at the 1000x replica), exact and order-identical since
-    cents() is monotone in price; ties and the final value are unchanged.
+    plan: ONE wide shuffle total — a partial-aggregable lexicographic
+    argmin, so the agg+join-back+re-agg of the SQL formulation collapses
+    to a single groupBy (same trick as p10_dedup_canonical).  Two
+    scale-critical choices beyond that: (1) the argmin orderand is
+    common.packed_minmax's single DECIMAL, not min(struct(price,
+    suppkey)) — a struct aggregation buffer demotes the whole aggregate
+    to SortAggregate, a full per-partition sort of the fact input, which
+    (not the shuffle) dominated q34's 27s at the 1000x replica; the
+    decimal pack keeps HashAggregate with the identical (min price, min
+    suppkey) order.  (2) the fact side reaches the aggregate through a
+    broadcast SEMI join on the measured filtered-part frame and carries
+    only (l_partkey, packed) — p_name rides no shuffle; the ~uncompacted
+    partial-agg output (group-per-row for a partkey-grouped fact) joins
+    the part names and supplier AFTER collapsing to one row per part.
+    Fallback honesty: past measured_broadcast's ceiling the semi join
+    shuffles li on l_partkey and the groupBy REUSES that exact
+    partitioning — the degraded plan adds no extra exchange.
     """
     li = t(spark, sf_dir, "lineitem")
-    part = t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    part = measured_broadcast(
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .select("p_partkey", "p_name")
+    )
     supp = t(spark, sf_dir, "supplier")
     best = (
-        li.join(
-            part.select("p_partkey", "p_name"),
-            F.col("p_partkey") == F.col("l_partkey"),
-        )
-        .groupBy("p_partkey", "p_name")
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("l_partkey")
         .agg(
             F.min(
-                F.struct(
-                    cents("l_extendedprice").alias("price_c"),
-                    F.col("l_suppkey").alias("sk"),
-                )
+                packed_minmax(cents("l_extendedprice"), F.col("l_suppkey"))
             ).alias("m")
         )
     )
     return (
-        best.join(supp, F.col("s_suppkey") == F.col("m.sk"))
+        best.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == unpack_id(F.col("m")))
         .select(
             "p_partkey",
             "p_name",
             "s_name",
-            (F.col("m.price_c").cast("double") / 100.0).alias("min_price"),
+            (unpack_value(F.col("m")).cast("double") / 100.0).alias("min_price"),
         )
         .orderBy("p_partkey")
     )

@@ -144,6 +144,52 @@ def money_sum_total(col: str, scale: float = 10000.0) -> Column:
     return exact.cast("double") / scale
 
 
+#: id-field width of the decimal argmin/argmax pack: ids (supp/doc/part
+#: keys) stay below 1e15 far past the 100 TB point — the 1000x replica's
+#: key-shift reaches ~1e12, and SF100k TPC-H keys ~6e11.
+_PACK_BASE = 10**15
+
+
+def packed_minmax(value: Column, id_col: Column) -> Column:
+    """Lexicographic (value, id) orderand as ONE hash-aggregable DECIMAL.
+
+    ``min(struct(value, id))`` is the natural argmin spelling, but a
+    struct aggregation buffer is not UnsafeRow-mutable, so Spark demotes
+    the ENTIRE aggregate to SortAggregate — a full per-partition sort of
+    the fact-side input before any combining (measured on q34 at the
+    1000x replica: the sort, not the shuffle, dominated its 27s).
+    Packing both orderands into one DECIMAL(38,0) — ``value*1e15 + id``,
+    both nonnegative, ``id < 1e15`` — restores HashAggregate: decimal is
+    a fixed-width mutable buffer type at any precision, and because the
+    id field occupies the low 15 decimal digits, decimal MIN/MAX order
+    coincides exactly with the struct's lexicographic order (min value
+    first, min id as tie-break; symmetrically for max).
+
+    Bounds: value < 1e22 (money cents: max TPC-H extendedprice ~1e7
+    cents) and id < 1e15; the typed arithmetic below stays within
+    DECIMAL(38,0) with no precision-loss rewrite, so out-of-range inputs
+    fail loudly under ANSI rather than mis-ordering silently.
+    """
+    v = value.cast("decimal(20,0)")
+    base = F.lit(_PACK_BASE).cast("decimal(16,0)")
+    return v * base + id_col.cast("decimal(20,0)")
+
+
+def unpack_id(packed: Column) -> Column:
+    """Low (id) field of a :func:`packed_minmax` value, as BIGINT."""
+    return (packed % _PACK_BASE).cast("long")
+
+
+def unpack_value(packed: Column) -> Column:
+    """High (value) field of a :func:`packed_minmax` value, as BIGINT.
+
+    Subtract-then-divide keeps the decimal division remainder-free, so
+    the quotient is exact at any result scale (a bare ``floor(p/base)``
+    can round up at the division's display scale before floor sees it).
+    """
+    return ((packed - packed % _PACK_BASE) / _PACK_BASE).cast("long")
+
+
 # Recently measured-broadcast frames, LRU-capped so repeated invocations
 # of the same query in one session (bench warm+timed runs, driver
 # correctness sweeps) don't accumulate persisted copies without bound.

@@ -475,16 +475,23 @@ def p10_dedup_canonical(spark, sf_dir):
     (doc_id as deterministic tie-break) plus group stats.
 
     The oracle states it as ROW_NUMBER()-over-partition; the Spark plan
-    deliberately uses max(struct(n_chars, doc_id)) aggregation instead —
-    lexicographic struct max ≡ the same argmax, but it partial-aggregates
-    map-side and never sorts, so at 100 TB it is one combine-shuffle of one
-    row per source rather than a full partition sort under a window.
+    deliberately uses a lexicographic argmax AGGREGATE instead — it
+    partial-aggregates map-side, so at 100 TB it is one combine-shuffle
+    of one row per source rather than a full partition sort under a
+    window.  The orderand is common.packed_minmax's single DECIMAL, not
+    max(struct(n_chars, doc_id)): a struct aggregation buffer demotes
+    the whole aggregate (the count and sum riding with it included) to
+    SortAggregate — a full per-partition sort, the exact cost this
+    formulation exists to avoid — while the decimal pack keeps
+    HashAggregate with the identical (n_chars DESC, doc_id DESC) order.
     """
     from pyspark.sql import functions as F
 
+    from sqlrs_spark.operators.common import packed_minmax, unpack_id, unpack_value
+
     register_views(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
-    best = F.max(F.struct("n_chars", "doc_id")).alias("best")
+    best = F.max(packed_minmax(F.col("n_chars"), F.col("doc_id"))).alias("best")
     return (
         docs.groupBy("source")
         .agg(
@@ -494,8 +501,8 @@ def p10_dedup_canonical(spark, sf_dir):
         )
         .select(
             "source",
-            F.col("best.doc_id").alias("canonical_doc"),
-            F.col("best.n_chars").alias("canonical_chars"),
+            unpack_id(F.col("best")).alias("canonical_doc"),
+            unpack_value(F.col("best")).alias("canonical_chars"),
             "n_docs",
             "total_chars",
         )

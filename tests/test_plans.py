@@ -142,11 +142,15 @@ def test_q25_agg_then_join_shape(spark, sf_dir):
 
 
 def test_p10_argmax_is_aggregate_not_window(spark, sf_dir):
-    # canonical-doc selection must compile to partial-aggregating
-    # max(struct), not a Window over a per-partition sort
+    # canonical-doc selection must compile to a partial-aggregating
+    # argmax, not a Window over a per-partition sort — and the argmax
+    # must be the decimal-packed HashAggregate form: a struct orderand
+    # buffer demotes the whole aggregate to SortAggregate (a full
+    # per-partition sort, the exact cost this formulation exists to avoid)
     df = SPECS["p10_dedup_canonical"].fn(spark, sf_dir)
     s = explain_str(df)
     assert "Window" not in s
+    assert "SortAggregate" not in s
     assert has_partial_agg(df)
 
 
@@ -236,11 +240,13 @@ def test_q32_exact_threshold_stays_jvm_side(spark, sf_dir):
 
 
 def test_q34_argmin_single_aggregate_no_window(spark, sf_dir):
-    # Q2-shape argmin: min(struct(price, suppkey)) — one aggregate, no
-    # Window, no join-back re-aggregation (≤2 exchanges: agg + final sort)
+    # Q2-shape argmin: one packed-decimal min aggregate, no Window, no
+    # join-back re-aggregation (≤2 exchanges: agg + final sort), and
+    # hash-aggregated — min(struct(...)) would demote to SortAggregate
     df = SPECS["q34_min_cost_supplier"].fn(spark, sf_dir)
     s = explain_str(df)
     assert "Window" not in s
+    assert "SortAggregate" not in s
     assert has_partial_agg(df)
     assert count_nodes(df, "Exchange") <= 2
 
