@@ -122,11 +122,13 @@ def q28_nation_profit(spark, sf_dir):
     Reference ops: left-deep multi-join (src/planner/select.rs:51-80),
     hash agg; LIKE is a documented extension (SURVEY §2.8 "not in
     reference").  Spark plan: the p_name filter shrinks part BEFORE the
-    join, and AQE's stats broadcast the filtered part/supplier while they
-    fit (no forced hints — both scale with SF, and a pinned broadcast
-    would OOM at the 100 TB target); nation keeps its hint (fixed 25
-    rows).  The single wide shuffle is lineitem⋈orders on orderkey, then
-    a 2-key agg.  Profit is exact integer 1e-4-dollar units
+    join and the reduced frame goes through common.measured_broadcast
+    (broadcast while the MEASURED rows fit its ceiling, exact shuffle
+    plan beyond — a pinned hint would OOM at the 100 TB target);
+    supplier is AQE's call; nation keeps its hint (fixed 25 rows) and
+    joins AFTER the aggregate so its name string never rides a wide
+    exchange.  The single wide shuffle is lineitem⋈orders on orderkey,
+    then a 2-key agg.  Profit is exact integer 1e-4-dollar units
     (common.cents): the per-row amount collapses to ONE BIGINT before the
     wide shuffle, and the partial aggregates are plain long adds —
     partial-agg order cannot perturb the result, same as the decimal
@@ -147,8 +149,18 @@ def q28_plan(spark, sf_dir, orders_src=None, li_src=None):
         "l_partkey", "l_suppkey", "l_orderkey", rev_cents().alias("rev_c"),
         cents("l_quantity").alias("qty_c"),
     )
-    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
-        "p_partkey", cents("p_retailprice").alias("rp_c")
+    # measured broadcast, not AQE's call: the %red% filter keeps ~13% of
+    # part — past part's broadcast byte threshold at the 1000x replica,
+    # where AQE planned a ShuffledHashJoin that exchanged the ENTIRE
+    # bloom-survivor lineitem on l_partkey (a second wide fact shuffle)
+    # and, on the bucketed path, destroyed the orderkey bucket
+    # partitioning the merge join needs.  The measured frame (2.6M rows
+    # at ~sf100, ceiling 30M) broadcasts, so lineitem's only exchange is
+    # the orders join — and none at all through the bucketed layout.
+    part = measured_broadcast(
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", cents("p_retailprice").alias("rp_c"))
     )
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     orders = (
@@ -166,17 +178,22 @@ def q28_plan(spark, sf_dir, orders_src=None, li_src=None):
     return (
         li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.col("n_name").alias("nation"),
+            "s_nationkey",
             F.year("o_orderdate").alias("o_year"),
             amount_c.alias("amount_c"),
         )
-        .groupBy("nation", "o_year")
+        # group on the nation KEY and join the 25-row name table after the
+        # aggregate collapses to ~175 rows — the n_name string never rides
+        # the wide orderkey exchange
+        .groupBy("s_nationkey", "o_year")
         .agg(*money_sum_aggs("amount_c"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
-            "nation", "o_year", money_sum_total("amount_c").alias("sum_profit")
+            F.col("n_name").alias("nation"),
+            "o_year",
+            money_sum_total("amount_c").alias("sum_profit"),
         )
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
