@@ -63,15 +63,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the hash gate must see the current arithmetic: the integer-cents
     # money queries (q01/q03/q05/q22/q28 — r1 rows predate the rewrite;
     # q03/q05/q22/q28 additionally moved to split-radix overflow-safe
-    # sums this round), the q34 cents-struct argmin, the t09 ASCII fast
-    # path, the m03/m05/p18 contract reworks, and the sink round-trips
-    # whose result materialization changed (v09/v10/v12, s08)
+    # sums this round), the q34/p10 packed-decimal argmin/argmax, the t09
+    # ASCII fast path, the m03/m05/p18 contract reworks, and the sink
+    # round-trips whose result materialization changed (v09/v10/v12, s08)
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_volume",
     "q22_volume_shipping",
     "q28_nation_profit",
     "q34_min_cost_supplier",
+    "p10_dedup_canonical",
     "t09_unicode_clean",
     "m03_fake_embed",
     "m05_image_neardup",
@@ -117,7 +118,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # q25), plus one representative per §2 family so every operator class
     # keeps a recent hard row (scan/DDL v01/v03, outer join q07, distinct
     # q12, limit/offset q13, date interval q15, scalar subquery q21,
-    # semi/anti x01 — x02 is code-identical since its green r1 row)
+    # semi/anti family is code-identical since its green r1 rows, so
+    # x01/x02 rotate out in favor of p10's packed-argmax rewrite above)
     "q06_simple_agg",
     "q25_large_orders",
     "v01_values_scan",
@@ -127,7 +129,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q13_order_limit_offset",
     "q15_date_interval",
     "q21_top_supplier",
-    "x01_semi_join",
 )
 
 
