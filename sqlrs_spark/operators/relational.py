@@ -336,7 +336,13 @@ def q03_plan(spark, sf_dir, orders_src=None, li_src=None):
     join already hash-partitioned by the bucketed scan, so its Exchange
     disappears and only the (much smaller) date+segment-reduced order
     set moves."""
-    cust = (
+    # BUILDING keeps ~20% of customer — one long column, well under the
+    # measured-broadcast ceiling at the tested replicas, so the orders
+    # side of the reduction below never shuffles on custkey either (AQE's
+    # static size estimate put the filtered scan past the byte threshold
+    # and planned a 150M-row orders exchange); beyond the ceiling the
+    # frame comes back unhinted and the custkey shuffle returns.
+    cust = measured_broadcast(
         t(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
@@ -446,9 +452,15 @@ def q05_plan(spark, sf_dir, orders_src=None, li_src=None):
     nat_asia = nation.join(
         F.broadcast(region), nation.n_regionkey == region.r_regionkey
     ).select("n_nationkey", "n_name")
-    cust_asia = cust.join(
-        F.broadcast(nat_asia), cust.c_nationkey == nat_asia.n_nationkey
-    ).select("c_custkey", "c_nationkey")
+    # ASIA keeps 1/5 of customer — (custkey, nationkey) longs under the
+    # measured ceiling at the tested replicas, so producing ordc below
+    # costs zero exchanges (orders probes this broadcast); over the
+    # ceiling the custkey shuffle comes back, exactly as for ordc itself.
+    cust_asia = measured_broadcast(
+        cust.join(
+            F.broadcast(nat_asia), cust.c_nationkey == nat_asia.n_nationkey
+        ).select("c_custkey", "c_nationkey")
+    )
     # ordc is the date+region-reduced order set (~6% of orders); measure
     # it and broadcast while it fits so lineitem NEVER shuffles — the
     # widest exchange in the whole query disappears (25.4s -> 15.0s at
