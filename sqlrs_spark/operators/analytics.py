@@ -295,8 +295,17 @@ def q25_large_orders(spark, sf_dir):
     orders on the *same* key — AQE converts that join to broadcast at
     runtime, so the orders side never shuffles.
     """
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders")
+    return q25_plan(spark, sf_dir)
+
+
+def q25_plan(spark, sf_dir, orders_src=None, li_src=None):
+    """q25's plan with optional orders/lineitem source overrides for the
+    bucketed layout: the orderkey agg — the whole cost of this query, a
+    full-fact-width shuffle — runs zero-Exchange when lineitem arrives
+    hash-partitioned by the bucketed scan, and the tiny HAVING survivor
+    set broadcasts into orders exactly as before."""
+    li = li_src if li_src is not None else t(spark, sf_dir, "lineitem")
+    orders = orders_src if orders_src is not None else t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
     qty = (
         li.groupBy("l_orderkey")

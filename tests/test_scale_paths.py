@@ -151,6 +151,21 @@ def test_bucketed_agg_join_pipeline_no_shuffle(spark, bucketed_tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
+def test_q25_plan_bucketed_matches_plain(spark, sf_dir, bucketed_tables):
+    """The real q25_plan through the bucketed sources must return the
+    identical result as its plain-parquet form — this is the pair the
+    scaled bench times (q25_large_orders[bucketed])."""
+    from sqlrs_spark.operators.analytics import q25_plan
+
+    left, right = bucketed_tables
+    plain = q25_plan(spark, sf_dir).collect()
+    bucketed = q25_plan(
+        spark, sf_dir, spark.table(left), spark.table(right)
+    ).collect()
+    assert plain == bucketed
+    assert len(plain) > 0
+
+
 def test_aqe_splits_skewed_join_partition(spark, sf_dir):
     """AQE skew-join must actually activate on a hot key.
 

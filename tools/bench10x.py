@@ -134,15 +134,17 @@ def bench_duckdb(specs, dst: str) -> dict[str, float]:
 
 
 def bench_bucketed(spark, dst: str) -> dict[str, float]:
-    """Time q05/x12 through the bucketed storage layout (round-2 verdict
-    #9): the SAME plans (operators' *_plan builders), reading
-    orders/lineitem co-bucketed on orderkey and events bucketed on
-    user_id — the zero-Exchange fact join / window made measurable at
-    scale.  The one-time ETL write is timed separately (reused across
-    runs via the table-exists check, like any real ingest-time layout).
+    """Time q03/q05/q28/q25/x12 through the bucketed storage layout
+    (round-2 verdict #9): the SAME plans (operators' *_plan builders),
+    reading orders/lineitem co-bucketed on orderkey and events bucketed
+    on user_id — the zero-Exchange fact join / agg / window made
+    measurable at scale.  The one-time ETL write is timed separately
+    (reused across runs via the table-exists check, like any real
+    ingest-time layout).
     """
     import gc
 
+    from sqlrs_spark.operators.analytics import q25_plan
     from sqlrs_spark.operators.analytics_deep import q28_plan
     from sqlrs_spark.operators.relational import q03_plan, q05_plan
     from sqlrs_spark.operators.temporal import x12_plan
@@ -165,6 +167,9 @@ def bench_bucketed(spark, dst: str) -> dict[str, float]:
             spark, dst, spark.table(orders_t), spark.table(lineitem_t)
         ),
         "q28_nation_profit[bucketed]": lambda: q28_plan(
+            spark, dst, spark.table(orders_t), spark.table(lineitem_t)
+        ),
+        "q25_large_orders[bucketed]": lambda: q25_plan(
             spark, dst, spark.table(orders_t), spark.table(lineitem_t)
         ),
         "x12_asof_join[bucketed]": lambda: x12_plan(spark, dst, spark.table(events_t)),
