@@ -764,3 +764,103 @@ def p21_fuzzy_vocab(spark, sf_dir):
     """
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_p21(True))
+
+
+# ---------------------------------------------------------------------------
+# p26 — semantic dedup: k-means-clustered embedding near-dup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+_SEM_COS_T = 0.40  # same boundary-safe cosine threshold as p05 (both
+# engines compute the identical sequential double fold, so the comparison
+# is bit-identical — never a threshold-straddling value-hash flake)
+
+
+def _p26_oracle() -> str:
+    from sqlrs_spark.operators.similarity import kmeans_cte_prefix
+
+    cos = (
+        "list_dot_product(ea.v, eb.v) "
+        "/ sqrt(list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v))"
+    )
+    return f"""{kmeans_cte_prefix()},
+pairs AS (
+  SELECT fb.vec_id, fb.cent_id, fa.vec_id AS keeper, {cos} AS cosine
+  FROM final_assign fa
+  JOIN final_assign fb ON fa.cent_id = fb.cent_id AND fa.vec_id < fb.vec_id
+  JOIN e ea ON ea.vec_id = fa.vec_id
+  JOIN e eb ON eb.vec_id = fb.vec_id
+  WHERE {cos} >= {_SEM_COS_T}
+)
+SELECT vec_id, CAST(cent_id AS BIGINT) AS cent_id, MIN(keeper) AS dup_of
+FROM pairs
+GROUP BY vec_id, cent_id
+ORDER BY vec_id
+"""
+
+
+@register("p26_semantic_dedup", oracle=_p26_oracle(), tags=("pipeline", "dedup"))
+def p26_semantic_dedup(spark, sf_dir):
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+    space with k-means, then mark near-duplicates WITHIN each cluster —
+    a vector is dropped when a lower-id vector in its cluster has cosine
+    >= threshold; output is (vec_id, cent_id, dup_of=min matching keeper),
+    fully deterministic.
+
+    Scale shape — the reason SemDeDup works at 100 TB where p05's exact
+    all-pairs cannot: the trained quantizer (bit-stable integer-grid Lloyd
+    loop shared with p18, similarity.py:kmeans_centroids) partitions the
+    corpus into k clusters, and the quadratic pair scan runs per-cluster
+    — O(sum c_i^2), with k chosen ~n/1e4 in production so clusters stay
+    small and bounded.  The pair join is a shuffle on cent_id (ids +
+    vectors, one partition per cluster lists), never an n x n cross
+    product; the DuckDB oracle replays training and checks every reported
+    cosine value.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sqlrs_spark.operators.similarity import _KM_SCALE, kmeans_centroids
+
+    register_views(spark, sf_dir, ("embeddings",))
+    corpus = spark.sql(
+        "SELECT vec_id AS id, transform(embedding, x -> cast(x as double)) AS v, "
+        f"transform(embedding, x -> cast(floor(cast(x as double) * {_KM_SCALE}) as double)) AS vq "
+        "FROM embeddings"
+    )
+    cents = kmeans_centroids(spark, corpus)
+
+    dot = "aggregate(zip_with(vq, cv, (x, y) -> x * y), cast(0.0 as double), (a, p) -> a + p)"
+    nv = "aggregate(vq, cast(0.0 as double), (a, x) -> a + x * x)"
+    ncv = "aggregate(cv, cast(0.0 as double), (a, x) -> a + x * x)"
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("cent_id"))
+    assign = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("cos", F.expr(f"{dot} / sqrt(({nv}) * ({ncv}))"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "cent_id", "v")
+    )
+
+    pair_dot = (
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), (a, p) -> a + p)"
+    )
+    na = "aggregate(va, cast(0.0 as double), (a, x) -> a + x * x)"
+    nb = "aggregate(vb, cast(0.0 as double), (a, x) -> a + x * x)"
+    left = assign.select(
+        F.col("cent_id"), F.col("id").alias("keeper"), F.col("v").alias("va")
+    )
+    right = assign.select(
+        F.col("cent_id"), F.col("id").alias("vec_id"), F.col("v").alias("vb")
+    )
+    pairs = (
+        left.join(right, "cent_id")
+        .filter(F.col("keeper") < F.col("vec_id"))
+        .withColumn("cosine", F.expr(f"{pair_dot} / sqrt(({na}) * ({nb}))"))
+        .filter(F.col("cosine") >= _SEM_COS_T)
+    )
+    return (
+        pairs.groupBy("vec_id", F.col("cent_id").cast("bigint").alias("cent_id"))
+        .agg(F.min("keeper").alias("dup_of"))
+        .select("vec_id", "cent_id", "dup_of")
+        .orderBy("vec_id")
+    )

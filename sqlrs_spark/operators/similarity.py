@@ -422,7 +422,12 @@ _KM_SCALE = 1_000_000  # quantization grid: vi = FLOOR(v * 1e6) per dim
 # — which is exactly what the oracle below does (unrolled CTE chain).
 
 
-def _p18_oracle() -> str:
+def kmeans_cte_prefix() -> str:
+    """DuckDB CTE chain replaying the bit-stable integer-grid Lloyd loop
+    (see the module note above): defines `e` (vec_id, v, vq), the unrolled
+    training iterations, and `final_assign` (vec_id, cent_id) — shared by
+    the p18 and p26 oracles so both check the exact same trained quantizer.
+    Callers append their own CTEs/SELECT after the returned text."""
     vq = f"list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * {_KM_SCALE}) AS DOUBLE))"
     cos = "list_dot_product({a}, {b}) / sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b}))"
     assign = f"""
@@ -454,7 +459,12 @@ a1 AS ({assign.format(cents='c0')}),
 c1 AS ({recenter.format(assign='a1')}),
 a2 AS ({assign.format(cents='c1')}),
 c2 AS ({recenter.format(assign='a2')}),
-final_assign AS ({assign.format(cents='c2')}),
+final_assign AS ({assign.format(cents='c2')})"""
+
+
+def _p18_oracle() -> str:
+    cos = "list_dot_product({a}, {b}) / sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b}))"
+    return f"""{kmeans_cte_prefix()},
 probes AS (
   SELECT vec_id AS query_id, cent_id FROM (
     SELECT e.vec_id, c.cent_id,

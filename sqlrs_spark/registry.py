@@ -109,17 +109,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x24_dist_windows",
     "x25_pivot",
     "x26_bucketed_fact_join",
-    # (d) NEW operators this round — int8 embedding quantization and
-    # cross-doc n-gram novelty (first driver rows)
+    # (d) NEW operators this round — int8 embedding quantization,
+    # cross-doc n-gram novelty, deterministic split assignment, and
+    # SemDeDup semantic dedup (first driver rows)
     "p24_embedding_quant",
     "t11_ngram_novelty",
     "p25_split_assign",
+    "p26_semantic_dedup",
     # (e) backfill: bench-set members whose only rows are from r1 (q06,
     # q25), plus one representative per §2 family so every operator class
     # keeps a recent hard row (scan/DDL v01/v03, outer join q07, distinct
-    # q12, limit/offset q13, date interval q15, scalar subquery q21,
-    # semi/anti family is code-identical since its green r1 rows, so
-    # x01/x02 rotate out in favor of p10's packed-argmax rewrite above)
+    # q12, limit/offset q13, scalar subquery q21; the semi/anti and
+    # date-interval families are code-identical since their green r1 rows,
+    # so x01/x02/q15 rotate out in favor of p10's packed-argmax rewrite
+    # and p26's first row above)
     "q06_simple_agg",
     "q25_large_orders",
     "v01_values_scan",
@@ -127,7 +130,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q07_join_left",
     "q12_distinct",
     "q13_order_limit_offset",
-    "q15_date_interval",
     "q21_top_supplier",
 )
 

@@ -69,6 +69,30 @@ def test_bench_queries_have_recent_driver_rows():
     assert not outside, f"bench queries with no recent driver row: {outside}"
 
 
+def test_window_outputs_are_driver_canonicalizable(spark, sf_dir):
+    """Every window query's output schema must survive the driver's
+    canonicalization, which sorts the result through pandas: list/dict
+    cells are unhashable there, so ArrayType/MapType/StructType columns
+    crash the gate even when the values are correct (m03's round-2 red
+    row, VERDICT r2 "What's wrong" #1).  Schema-only — .schema never
+    triggers execution for the lazy plans, and catches the failure class
+    statically for every rotation the window will ever see."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    specs = all_specs()
+    bad: dict[str, list[str]] = {}
+    for name in DRIVER_WINDOW:
+        df = specs[name].fn(spark, sf_dir)
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if cols:
+            bad[name] = cols
+    assert not bad, f"window queries with pandas-unhashable columns: {bad}"
+
+
 def test_window_entries_have_oracles_where_possible():
     # rows-only entries in the window must be the documented exceptions
     # (x15: sketch estimates are engine-implementation-specific; its exact
