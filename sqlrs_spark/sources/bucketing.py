@@ -101,19 +101,59 @@ def ensure_bucketed(
     ).hexdigest()[:10]
     table = f"{source}_b_{tag}"
     if not spark.catalog.tableExists(table):
-        # a PREVIOUS session may have left the managed location behind
-        # (bucket metadata lives in the catalog, not the files, so the
-        # stale directory cannot be re-adopted — clear it and rewrite)
-        import shutil
         from urllib.parse import urlparse
 
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
         wh_path = urlparse(warehouse).path or warehouse
-        shutil.rmtree(os.path.join(wh_path, table), ignore_errors=True)
-        write_bucketed(
-            load_table(spark, sf_dir, source), table, key, buckets, sort_by=sort_by
-        )
+        loc = os.path.join(wh_path, table)
+        if os.path.exists(os.path.join(loc, "_SUCCESS")):
+            # A PREVIOUS session already wrote this layout; the default
+            # in-memory catalog forgot it with the JVM, but the bucket id
+            # is encoded in each FILE NAME by the bucketed writer (the
+            # `_00042` infix), so the layout survives the catalog — re-
+            # adopt the directory as an external bucketed table instead
+            # of re-running the ETL (213s for the 1000x facts).  The
+            # content-hash table name guarantees the files match this
+            # exact (dataset, key, buckets, sort) request; bump the tag
+            # input string if the writer's layout semantics ever change.
+            adopt_bucketed(spark, table, loc, key, buckets, sort_by=sort_by)
+        else:
+            import shutil
+
+            # half-written leftovers (no _SUCCESS) cannot be re-adopted
+            shutil.rmtree(loc, ignore_errors=True)
+            write_bucketed(
+                load_table(spark, sf_dir, source), table, key, buckets, sort_by=sort_by
+            )
     return table
+
+
+def adopt_bucketed(
+    spark: SparkSession,
+    table: str,
+    location: str,
+    key: str,
+    buckets: int,
+    sort_by: str | None = None,
+) -> None:
+    """Register an EXTERNAL bucketed table over files a previous session's
+    bucketed writer produced.  Spark derives the bucket id from the file
+    name at scan time, so a re-adopted table keeps the zero-Exchange join
+    property; the SORTED BY clause is likewise honored because the writer
+    produced exactly one file per bucket (write_bucketed docstring).  This
+    is the catalog-recovery half of any real bucketed ingest: data outlives
+    metastores."""
+    schema = spark.read.parquet(location).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    sorted_clause = ""
+    if sort_by:
+        sb = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        sorted_clause = f" SORTED BY ({', '.join(sb)})"
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING parquet "
+        f"CLUSTERED BY ({key}){sorted_clause} INTO {buckets} BUCKETS "
+        f"LOCATION '{location}'"
+    )
 
 
 def ensure_bucketed_facts(

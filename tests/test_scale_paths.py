@@ -233,3 +233,54 @@ def test_cache_table_serves_from_memory(spark, sf_dir):
         assert sum(r.n for r in rows) == 25
     finally:
         spark.sql("UNCACHE TABLE nation")
+
+
+def test_adopted_bucketed_table_keeps_layout(spark, sf_dir, bucketed_tables):
+    """Re-adopting a bucketed directory written by a PREVIOUS session
+    (sources/bucketing.adopt_bucketed — the ensure_bucketed fast path when
+    the in-memory catalog died with the JVM) must preserve both the data
+    and the zero-Exchange/zero-Sort join property, because the bucket id
+    lives in the file names, not the catalog."""
+    import os
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    from sqlrs_spark.sources.bucketing import adopt_bucketed
+
+    left, right = bucketed_tables
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh_path = urlparse(wh).path or wh
+    spark.sql("drop table if exists orders_adopted")
+    adopted_loc = os.path.join(wh_path, "orders_adopted_files")
+    shutil.rmtree(adopted_loc, ignore_errors=True)
+    # simulate "files outlived the catalog": a copy of the bucketed dir
+    # that THIS session's catalog has never seen under any table name
+    shutil.copytree(os.path.join(wh_path, left), adopted_loc)
+    try:
+        adopt_bucketed(
+            spark, "orders_adopted", adopted_loc, "o_orderkey", 8,
+            sort_by="o_orderkey",
+        )
+        assert (
+            spark.table("orders_adopted").count() == spark.table(left).count() > 0
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                spark.table("orders_adopted")
+                .join(
+                    spark.table(right),
+                    F.col("o_orderkey") == F.col("l_orderkey"),
+                )
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "Exchange" not in plan, plan
+            assert not re.search(r"\bSort \[", plan), plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    finally:
+        spark.sql("drop table if exists orders_adopted")
+        shutil.rmtree(adopted_loc, ignore_errors=True)
