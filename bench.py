@@ -63,6 +63,35 @@ def split_bytes(sf_dir: str, cpus: int) -> int:
     return min(max(biggest // (2 * cpus), 4 << 20), 128 << 20)
 
 
+def bench_conf(sf_dir: str) -> dict[str, str]:
+    """Environment-level conf that scales with the benched data size.
+
+    - ``spark.local.dir`` on a RAM-backed fs when one exists: shuffle
+      blocks + spills then never touch the data disk.  Measured at the
+      1000x replica (21 GB input, this container's virtio disk): q25's
+      orderkey agg swung 81-130s with disk-backed shuffle vs a stable
+      ~27s on tmpfs — the disk's writeback stalls, not the engine, were
+      the bottleneck.  This mirrors a production cluster, where
+      local.dir points at dedicated NVMe, never the data volume; and it
+      is the same storage class DuckDB's in-RAM intermediates enjoy on
+      the comparison side.
+    - driver (=executor in local mode) heap sized to the input: 2 bytes
+      of heap per input byte, clamped to [16g, 48g] — broadcast builds +
+      32 concurrent task shares at the 21 GB replica GC-thrash a 16g
+      heap (GCLocker retry warnings, 2-3x run variance), while sf0.1
+      stays at the floor.
+    """
+    conf: dict[str, str] = {}
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        conf["spark.local.dir"] = os.path.join(shm, "sqlrs_shuffle")
+    mem_gb = max(16, min(48, (2 * total_bytes(sf_dir)) >> 30))
+    conf["spark.driver.memory"] = os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", f"{mem_gb}g"
+    )
+    return conf
+
+
 def bench_spark(sf_dir: str, cpus: int | None = None, app: str = "sqlrs_spark_bench"):
     """Build the bench session and time every bench-flagged spec.
 
@@ -93,6 +122,7 @@ def bench_spark(sf_dir: str, cpus: int | None = None, app: str = "sqlrs_spark_be
             "spark.sql.warehouse.dir": os.path.join(
                 tempfile.gettempdir(), "sqlrs_warehouse"
             ),
+            **bench_conf(sf_dir),
         },
     )
     import gc

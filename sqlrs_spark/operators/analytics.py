@@ -307,10 +307,15 @@ def q25_plan(spark, sf_dir, orders_src=None, li_src=None):
     li = li_src if li_src is not None else t(spark, sf_dir, "lineitem")
     orders = orders_src if orders_src is not None else t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
+    # quantities are integral-valued doubles (TPC-H 1..50); summing them
+    # as BIGINT keeps the 150M-group aggregate in plain long adds and is
+    # exact — the final cast back to double matches the oracle's double
+    # sum bit-for-bit because every intermediate is integer-representable
     qty = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
-        .filter(F.col("sum_qty") > 250.0)
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > 250)
+        .withColumnRenamed("sum_qty_c", "sum_qty")
     )
     return (
         orders.join(qty, F.col("o_orderkey") == F.col("l_orderkey"))

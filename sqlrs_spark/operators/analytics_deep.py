@@ -146,8 +146,8 @@ def q28_plan(spark, sf_dir, orders_src=None, li_src=None):
     Exchange on both sides; even when a dim join shuffles, the bucketed
     orders scan still elides its own Exchange."""
     li = (li_src if li_src is not None else t(spark, sf_dir, "lineitem")).select(
-        "l_partkey", "l_suppkey", "l_orderkey", rev_cents().alias("rev_c"),
-        cents("l_quantity").alias("qty_c"),
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity",
     )
     # measured broadcast, not AQE's call: the %red% filter keeps ~13% of
     # part — past part's broadcast byte threshold at the 1000x replica,
@@ -162,7 +162,16 @@ def q28_plan(spark, sf_dir, orders_src=None, li_src=None):
         .filter(F.col("p_name").like("%red%"))
         .select("p_partkey", cents("p_retailprice").alias("rp_c"))
     )
-    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    # supplier measured-broadcast for the same reason as part: ~1% of the
+    # fact at any SF, but past AQE's static byte threshold at the big
+    # replicas, where the planner exchanged the part-surviving lineitem
+    # rows on l_suppkey — a second wide fact shuffle.  Measured 1M rows at
+    # ~sf100 (ceiling 30M); beyond the ceiling the suppkey shuffle
+    # returns, and on the bucketed path a shuffle here would also destroy
+    # the orderkey bucket partitioning the merge join needs.
+    supp = measured_broadcast(
+        t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
     orders = (
         orders_src if orders_src is not None else t(spark, sf_dir, "orders")
     ).select("o_orderkey", "o_orderdate")
@@ -174,15 +183,23 @@ def q28_plan(spark, sf_dir, orders_src=None, li_src=None):
         # cannot fit 32 concurrent task memory shares at the 1000x replica
         orders = orders.hint("merge")
     nation = t(spark, sf_dir, "nation")
-    amount_c = F.col("rev_c") - F.col("rp_c") * F.col("qty_c")
+    # the integer-cents money arithmetic (common.cents) runs AFTER the
+    # ~13%-selective part probe — projections evaluate where declared, so
+    # computing rev_c/qty_c in the scan projection would FLOOR-multiply
+    # all 100% of the fact; here only part survivors pay, and the probe +
+    # project still fuse into the scan's codegen stage
+    amount_c = rev_cents() - F.col("rp_c") * cents("l_quantity")
     return (
         li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "l_orderkey", "s_nationkey", amount_c.alias("amount_c")
+        )
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
             "s_nationkey",
             F.year("o_orderdate").alias("o_year"),
-            amount_c.alias("amount_c"),
+            "amount_c",
         )
         # group on the nation KEY and join the 25-row name table after the
         # aggregate collapses to ~175 rows — the n_name string never rides

@@ -352,12 +352,10 @@ def q03_plan(spark, sf_dir, orders_src=None, li_src=None):
         .filter(F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp"))
         .select("o_orderkey", "o_custkey", "o_orderdate")
     )
-    # revenue collapses to ONE BIGINT before the exchange (common.cents):
-    # the lineitem shuffle carries (l_orderkey, rev_c) — two longs
     li = (
         (li_src if li_src is not None else t(spark, sf_dir, "lineitem"))
         .filter(F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp"))
-        .select("l_orderkey", rev_cents().alias("rev_c"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
     )
     # the BUILDING+date-reduced order set; measured_broadcast keeps
     # lineitem from ever shuffling while the reduction fits (common.py)
@@ -366,8 +364,16 @@ def q03_plan(spark, sf_dir, orders_src=None, li_src=None):
             "o_orderkey", "o_orderdate"
         )
     )
+    # rev_c (ONE BIGINT, common.cents) is computed AFTER the ordc probe:
+    # projections evaluate where declared, so hoisting it above the join
+    # would run the FLOOR/multiply money arithmetic on every shipdate
+    # survivor (~2/3 of the fact) instead of only the ~20% that belong to
+    # a BUILDING order.  Probe, project, and partial agg fuse into the
+    # scan's codegen stage, so carrying the two raw money doubles to the
+    # join costs no materialization.
     return (
         li.join(ordc, li.l_orderkey == ordc.o_orderkey)
+        .select("l_orderkey", "o_orderdate", rev_cents().alias("rev_c"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(*money_sum_aggs("rev_c"))
         .select(
@@ -439,14 +445,17 @@ def q05_plan(spark, sf_dir, orders_src=None, li_src=None):
         )
         .select("o_orderkey", "o_custkey")
     )
-    # revenue collapses to ONE BIGINT (1e-4-dollar units) BEFORE the
-    # exchange: the widest shuffle carries (l_orderkey, l_suppkey, rev_c)
-    # — 3 longs — instead of two money doubles that would then feed a
-    # decimal aggregate (see common.cents; 28.4s -> 5.7s on q01's agg)
     li = (li_src if li_src is not None else t(spark, sf_dir, "lineitem")).select(
-        "l_orderkey", "l_suppkey", rev_cents().alias("rev_c")
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    # supplier is ~1% of the fact at any SF — measured (not pinned): AQE's
+    # static estimate sits past the byte threshold at the big replicas and
+    # planned a shuffle of the ordc-surviving lineitem rows on suppkey; the
+    # measured frame broadcasts while it fits the 30M-row ceiling, beyond
+    # which the suppkey shuffle returns (the 100 TB degradation path).
+    supp = measured_broadcast(
+        t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nat_asia = nation.join(
@@ -471,17 +480,24 @@ def q05_plan(spark, sf_dir, orders_src=None, li_src=None):
             "o_orderkey", "c_nationkey"
         )
     )
+    # rev_c (ONE BIGINT, 1e-4-dollar units, common.cents) is computed
+    # AFTER the reducing probes: projections evaluate where declared, so
+    # hoisting it above the joins would run the money arithmetic on all
+    # 100% of the fact instead of the ~6% that survive the date+region
+    # reduction.  With every join side broadcast while measured-small,
+    # scan → probes → project → partial agg fuse into one codegen stage.
     return (
         li.join(ordc, li.l_orderkey == ordc.o_orderkey)
         .join(
             supp,
-            (li.l_suppkey == supp.s_suppkey)
-            & (F.col("c_nationkey") == supp.s_nationkey),
+            (li.l_suppkey == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .join(
             F.broadcast(nat_asia),
-            supp.s_nationkey == nat_asia.n_nationkey,
+            F.col("s_nationkey") == nat_asia.n_nationkey,
         )
+        .select("n_name", rev_cents().alias("rev_c"))
         .groupBy("n_name")
         .agg(*money_sum_aggs("rev_c"))
         .select("n_name", money_sum_total("rev_c").alias("revenue"))
