@@ -735,3 +735,73 @@ def t11_ngram_novelty(spark, sf_dir):
     novelty fraction rounds at 6 places identically in both engines."""
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_t11(True))
+
+
+# ---------------------------------------------------------------------------
+# t12 — unigram-LM quality scoring (corpus-trained token-frequency stats)
+# ---------------------------------------------------------------------------
+
+
+def _t12(spark_dialect: bool) -> str:
+    # Tokens hash to 60-bit ints before any shuffle (the t10/t11
+    # discipline); counting over the hashes computes identical numbers in
+    # both engines because both sides hash with the same md5 prefix.
+    from sqlrs_spark.functions.hashing import md5int_duck, md5int_spark
+
+    if spark_dialect:
+        tok = "SELECT doc_id, explode(split(text, ' ')) AS t FROM documents"
+        g = md5int_spark("t")
+        idiv = "div"
+    else:
+        tok = "SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents"
+        g = md5int_duck("t")
+        idiv = "//"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {g} AS g FROM ({tok}) raw
+),
+cnt AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY g
+),
+doc AS (
+  SELECT tok.doc_id,
+         CAST(COUNT(*) AS BIGINT)   AS ntok,
+         CAST(SUM(cnt.c) AS BIGINT) AS sum_cnt,
+         CAST(MIN(cnt.c) AS BIGINT) AS min_cnt
+  FROM tok JOIN cnt ON tok.g = cnt.g
+  GROUP BY tok.doc_id
+)
+SELECT doc_id, ntok, sum_cnt, min_cnt,
+       CAST((sum_cnt * 1000000) {idiv} ntok AS BIGINT) AS mean_cnt_ppm
+FROM doc
+ORDER BY doc_id
+"""
+
+
+@register("t12_unigram_lm_score", oracle=_t12(False), tags=("pipeline", "text"))
+def t12_unigram_lm_score(spark, sf_dir):
+    """Corpus-trained unigram-LM quality scoring: train token frequencies
+    on the corpus itself, then score every document by the corpus counts
+    of its own tokens — the integer-exact form of the CCNet/Gopher
+    unigram-frequency quality filter.  ``mean_cnt_ppm`` (mean corpus
+    count of the doc's tokens, arithmetic-mean form of the LM score,
+    scaled 1e6) ranks fluent docs above keyboard-mash; ``min_cnt`` == 1
+    flags docs containing corpus-unique (OOV-like) tokens.
+
+    Scale design: tokens hash to 60-bit ints map-side, so the three
+    shuffles — the vocabulary count groupBy, the score join, the per-doc
+    rollup — move (bigint, bigint) pairs, never token strings; both
+    groupBys partial-aggregate map-side (heavy hitters like 'the'
+    collapse per-partition before the exchange, the universal-token skew
+    case), and the count join is an equi-join on the hash that AQE
+    skew-splits.  The vocabulary is corpus-sublinear, so the cnt side is
+    broadcastable long past this SF.  All outputs are integer-exact:
+    BIGINT sums and an integer division (floor on positives in both
+    engines) — no float crosses the oracle boundary.  Overflow bound:
+    sum_cnt*1e6 needs max_doc_tokens * max_token_count < 9.2e12, holding
+    to a ~1e5-doc-tokens × ~1e7-token-count corpus (≈ sf10k); past that
+    the scale factor drops a digit or the sum widens to DECIMAL(38,0).
+    Integer division by construction: Spark `div` and DuckDB `//` both
+    truncate, identical on the non-negative operands here."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_t12(True))
