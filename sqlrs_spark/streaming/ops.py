@@ -601,3 +601,116 @@ def s08_stream_foreachbatch_sink(spark, sf_dir):
         out_dir,
         ckpt_dir,
     )
+
+
+# ---------------------------------------------------------------------------
+# s09 — watermarked stream-stream LEFT OUTER join (eviction-time null rows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s09_stream_stream_outer_join",
+    # batch twin: LEFT JOIN with the identical interval condition, then the
+    # same conservative eviction margin the streaming side applies (see
+    # docstring) so the hash never touches the eviction boundary itself
+    oracle="""
+    WITH horizon AS (SELECT MAX(ts) AS max_ts FROM events)
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS delay_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts
+     AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE c.event_id IS NOT NULL
+       OR v.ts <= (SELECT max_ts FROM horizon) - INTERVAL 2 HOUR
+    ORDER BY view_id, click_id
+    """,
+    tags=("pipeline", "streaming"),
+)
+def s09_stream_stream_outer_join(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER self-join: views that never
+    attracted a click still emit a (view, NULL) row — the outer-join
+    state-eviction semantics s07's inner join cannot exercise.  An outer
+    match CANNOT be emitted eagerly (a matching click may still arrive);
+    Structured Streaming holds the view in state and emits the null-joined
+    row only when the click watermark passes view_ts + 30 min, proving the
+    match window is closed.  The availableNow replay's final batch advances
+    the watermark to max(ts) - 1 h and flushes exactly the evictable state.
+
+    Determinism contract: views younger than the final watermark horizon
+    are STILL IN STATE at query end — whether their null row exists depends
+    on the engine's exact eviction boundary.  Both sides therefore apply
+    the same conservative margin: unmatched views count only when
+    view_ts <= max(ts) - 2 h (strictly inside the 1 h watermark + 30 min
+    window boundary at max(ts) - 90 min), so the value hash covers every
+    matched pair plus every confidently-evicted view and no boundary row.
+    max(ts) comes from the batch table — fixed data, deterministic margin.
+
+    At scale: both arms hash-partition on user_id (co-partitioned state
+    lookup per micro-batch, no re-shuffle); outer-join state holds only
+    the watermark horizon per user, same bound as s07 plus the unmatched
+    views awaiting eviction.
+    """
+    from sqlrs_spark.operators.common import t as load_static
+
+    ev = read_events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = click_user AND click_ts > view_ts "
+            "AND click_ts <= view_ts + INTERVAL 30 MINUTES"
+        ),
+        "left_outer",
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("delay_us"),
+        "view_ts",
+    )
+    name = f"s09_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    spark.catalog.dropTempView(name)
+    # conservative eviction margin, mirrored in the oracle (docstring)
+    max_ts = (
+        load_static(spark, sf_dir, "events").agg(F.max("ts").alias("m")).collect()[0]["m"]
+    )
+    return (
+        result.filter(
+            F.col("click_id").isNotNull()
+            | (F.col("view_ts") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+        )
+        .drop("view_ts")
+        .orderBy("view_id", "click_id")
+    )
