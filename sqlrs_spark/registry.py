@@ -110,26 +110,29 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x25_pivot",
     "x26_bucketed_fact_join",
     # (d) NEW operators this round — int8 embedding quantization,
-    # cross-doc n-gram novelty, deterministic split assignment, and
-    # SemDeDup semantic dedup (first driver rows)
+    # cross-doc n-gram novelty, deterministic split assignment, SemDeDup
+    # semantic dedup, corpus-trained unigram-LM scoring, and the
+    # stream-stream LEFT OUTER join (first driver rows); plus
+    # t01_token_count, whose run-collapse rewrite of the BPE-ish count
+    # postdates its green r2 row (same re-verify rule as group (a))
     "p24_embedding_quant",
     "t11_ngram_novelty",
     "p25_split_assign",
     "p26_semantic_dedup",
+    "t12_unigram_lm_score",
+    "s09_stream_stream_outer_join",
+    "t01_token_count",
     # (e) backfill: bench-set members whose only rows are from r1 (q06,
     # q25), plus one representative per §2 family so every operator class
-    # keeps a recent hard row (scan/DDL v01/v03, outer join q07, distinct
-    # q12, limit/offset q13, scalar subquery q21; the semi/anti and
-    # date-interval families are code-identical since their green r1 rows,
-    # so x01/x02/q15 rotate out in favor of p10's packed-argmax rewrite
-    # and p26's first row above)
+    # keeps a recent hard row (scan/DDL v01/v03, scalar subquery q21; the
+    # outer-join/distinct/limit-offset/semi-anti/date-interval families
+    # are code-identical since their green r1 rows, so
+    # q07/q12/q13/x01/x02/q15 yield their slots to the group-(a)/(d)
+    # rewrites and first-time rows above)
     "q06_simple_agg",
     "q25_large_orders",
     "v01_values_scan",
     "v03_ddl_roundtrip",
-    "q07_join_left",
-    "q12_distinct",
-    "q13_order_limit_offset",
     "q21_top_supplier",
 )
 
