@@ -654,9 +654,18 @@ def s09_stream_stream_outer_join(spark, sf_dir):
     the watermark horizon per user, same bound as s07 plus the unmatched
     views awaiting eviction.
     """
+    return s09_plan(spark, sf_dir)
+
+
+def s09_plan(spark, sf_dir, ev_stream=None):
+    """s09's plan with an optional source override so tests can feed a
+    CHUNKED copy of events through maxFilesPerTrigger=1 — true multi-batch
+    incremental arrival with per-batch watermark advancement
+    (tests/test_streaming_multibatch.py asserts batch-count > 1 and
+    result equality with the single-batch run)."""
     from sqlrs_spark.operators.common import t as load_static
 
-    ev = read_events_stream(spark, sf_dir)
+    ev = ev_stream if ev_stream is not None else read_events_stream(spark, sf_dir)
     views = (
         ev.filter(F.col("event_type") == "view")
         .select(
