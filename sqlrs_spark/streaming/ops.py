@@ -55,26 +55,36 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
 
 
-def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
-    """Drive a bounded stream to completion via availableNow + memory sink;
-    returns the materialized result as a batch DataFrame."""
+def _drain_memory_sink(stream_df: DataFrame, query_name: str, mode: str) -> DataFrame:
+    """Drive a bounded stream to completion (availableNow + memory sink)
+    and return the materialized result as a batch DataFrame.  The per-run
+    checkpoint scratch dir is removed after materialization — each
+    bench/driver rerun otherwise leaks one /tmp dir per invocation (the
+    s08 sink-leak advice, applied to every memory-sink query)."""
+    import shutil
+
     spark = stream_df.sparkSession
     name = f"{query_name}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     out = spark.table(name)
     # materialize before the memory sink is dropped
-    rows = out.collect()
-    result = spark.createDataFrame(rows, out.schema)
+    result = spark.createDataFrame(out.collect(), out.schema)
     spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    return _drain_memory_sink(stream_df, query_name, "complete")
 
 
 @register(
@@ -191,22 +201,7 @@ def s02_stream_stateful_sessions(spark, sf_dir):
 
 
 def run_to_completion_update(stream_df: DataFrame, query_name: str) -> DataFrame:
-    spark = stream_df.sparkSession
-    name = f"{query_name}_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(name)
-    rows = out.collect()
-    result = spark.createDataFrame(rows, out.schema)
-    spark.catalog.dropTempView(name)
-    return result
+    return _drain_memory_sink(stream_df, query_name, "update")
 
 
 @register(
@@ -297,20 +292,7 @@ def s04_stream_dedup(spark, sf_dir):
         raw.select(F.md5(F.col("text").cast("binary")).alias("text_hash"))
         .dropDuplicates(["text_hash"])
     )
-    name = f"s04_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(name)
-    result = spark.createDataFrame(out.collect(), out.schema)
-    spark.catalog.dropTempView(name)
-    return result.orderBy("text_hash")
+    return _drain_memory_sink(deduped, "s04", "append").orderBy("text_hash")
 
 
 @register(
@@ -514,20 +496,7 @@ def s07_stream_stream_join(spark, sf_dir):
         "click_id",
         (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("delay_us"),
     )
-    name = f"s07_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(name)
-    result = spark.createDataFrame(out.collect(), out.schema)
-    spark.catalog.dropTempView(name)
-    return result.orderBy("view_id", "click_id")
+    return _drain_memory_sink(joined, "s07", "append").orderBy("view_id", "click_id")
 
 
 # ---------------------------------------------------------------------------
@@ -698,19 +667,7 @@ def s09_plan(spark, sf_dir, ev_stream=None):
         (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("delay_us"),
         "view_ts",
     )
-    name = f"s09_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(name)
-    result = spark.createDataFrame(out.collect(), out.schema)
-    spark.catalog.dropTempView(name)
+    result = _drain_memory_sink(joined, "s09", "append")
     # conservative eviction margin, mirrored in the oracle (docstring)
     max_ts = (
         load_static(spark, sf_dir, "events").agg(F.max("ts").alias("m")).collect()[0]["m"]
