@@ -538,6 +538,7 @@ SELECT doc_id,
        {h31_duck("ctext")} AS clean_digest,
        ctext <> text AS changed
 FROM cleaned
+ORDER BY doc_id
 """
 
 
@@ -574,7 +575,13 @@ def t09_unicode_clean(spark, sf_dir):
     insensitive, and a global 5M-row sort of a per-doc projection
     (measured ~3.6s) is exactly what a production pipeline would never
     run; the union makes the order engine-dependent, which is the honest
-    contract for an embarrassingly-parallel cleaning pass.  Net: 11.7s ->
+    contract for an embarrassingly-parallel cleaning pass.  The DuckDB
+    oracle KEEPS its ORDER BY — measured at the 1000x replica, DuckDB's
+    unsorted form streams the nfc_normalize projection through the
+    single result-fetch thread (87.0s vs 4.0s sorted: the sort is a
+    parallelism barrier that materializes the projection across threads)
+    — so each engine is timed on its better plan for the same
+    unordered-set contract.  Net: 11.7s ->
     ~5s at the 1000x replica.  The unicode-adversarial suite still routes
     its non-ASCII cases through Python.
     """
