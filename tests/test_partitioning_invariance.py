@@ -36,6 +36,12 @@ QUERIES = [
     "q34_min_cost_supplier",
     "p23_pps_sample",
     "m06_audio_windows",
+    # corpus-global statistic joined back per row (t12: the vocabulary
+    # count shuffle + score join must not depend on split shape) and the
+    # union-split UDF/JVM row routing (t09: the rlike partition must
+    # commute with any partitioning)
+    "t12_unigram_lm_score",
+    "t09_unicode_clean",
 ]
 
 
