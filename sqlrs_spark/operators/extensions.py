@@ -862,3 +862,53 @@ def x25_pivot(spark, sf_dir):
         cols.append(F.col(f"{ty}_n"))
         cols.append(F.col(f"{ty}_amt").cast("double").alias(f"{ty}_amt"))
     return wide.select(*cols).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# x27 — time-based RANGE-frame windows (interval frames, peer-inclusive)
+# ---------------------------------------------------------------------------
+
+_X27_SQL = """
+SELECT user_id,
+       event_id,
+       COUNT(*) OVER w_1h                                      AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w_1h AS DOUBLE)
+                                                               AS value_last_hour,
+       COUNT(*) OVER w_1d                                      AS n_last_day
+FROM events
+WINDOW
+  w_1h AS (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+  w_1d AS (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+@register(
+    "x27_range_windows",
+    oracle=_X27_SQL,
+    tags=("extension", "window", "events"),
+)
+def x27_range_windows(spark, sf_dir):
+    """Time-based RANGE-frame windows (§2.5 depth): per-user trailing
+    1-hour event count and exact DECIMAL value sum — the interval-frame
+    family (RANGE BETWEEN INTERVAL ... PRECEDING) that x19's row-counted
+    frames cannot express: the frame width is wall-clock, not row count,
+    the velocity/rate-limiting signal an abuse or billing pipeline
+    computes per entity.
+
+    Determinism: a RANGE frame is defined by the ORDER BY VALUE interval
+    [ts - 1h, ts], inclusive of all peers — so the result is independent
+    of row order among equal timestamps and needs no tiebreaker column
+    (unlike ROWS frames); the sum runs over DECIMAL(18,4).  Both engines
+    implement the identical inclusive-boundary SQL-standard frame.
+
+    Scale: one shuffle on user_id, one sort per partition, then a
+    two-pointer sliding frame over each partition — the same single
+    Window operator cost profile as x19, bounded state (the 1 h horizon),
+    no self-join (the naive equivalent is an O(n^2) range self-join per
+    user).
+    """
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_X27_SQL)

@@ -602,3 +602,107 @@ def m06_audio_windows(spark, sf_dir):
         .mapInPandas(op, schema=AUDIO_WIN_SCHEMA)
         .orderBy("doc_id", "win_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# m07 — ViT-style patch-grid feature extraction over a REAL PNG round-trip.
+# m05 proves decode→perceptual-hash; m07 proves decode→patch tensorization,
+# the preprocessing shape a vision-encoder ingest pipeline runs: image →
+# fixed patch grid → per-patch statistics, one row per patch.
+# ---------------------------------------------------------------------------
+
+_M07_W = 16  # image side (pixels), grayscale
+_M07_P = 4  # patch side: 4x4 grid of 4x4-pixel patches
+
+# The fixture image is md5-expanded from the TEXT (block i of the pixel
+# buffer = md5(md5_hex(text) || str(i)), 16 bytes each) — chosen so the
+# DuckDB oracle can restate every pixel byte from hex-string arithmetic
+# alone, while the Spark side must earn the same numbers through the real
+# encode_png -> decode_image codec round-trip.  Integer-exact throughout:
+# mean = floor-sum/16, min/max over bytes.
+_M07_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS seed FROM documents
+),
+blocks AS (
+  SELECT doc_id, b.i AS blk, md5(seed || CAST(b.i AS VARCHAR)) AS bh
+  FROM h JOIN generate_series(0, {_M07_W * _M07_W // 16 - 1}) AS b(i) ON TRUE
+),
+px AS (
+  SELECT doc_id, (blk * 16 + g.j) AS k,
+         ('0x' || substr(bh, g.j * 2 + 1, 2))::INT AS v
+  FROM blocks JOIN generate_series(0, 15) AS g(j) ON TRUE
+)
+SELECT doc_id,
+       CAST((k // {_M07_W}) // {_M07_P} AS INT) AS patch_y,
+       CAST((k % {_M07_W}) // {_M07_P} AS INT)  AS patch_x,
+       CAST(SUM(v) // {_M07_P * _M07_P} AS INT) AS mean_luma,
+       CAST(MIN(v) AS INT)                      AS min_luma,
+       CAST(MAX(v) AS INT)                      AS max_luma
+FROM px
+GROUP BY 1, 2, 3
+ORDER BY doc_id, patch_y, patch_x
+"""
+
+
+@register("m07_patch_grid", oracle=_M07_ORACLE, tags=("pipeline", "multimodal"))
+def m07_patch_grid(spark, sf_dir):
+    """Patch-grid tensorization through the real PNG codec: render each
+    doc a deterministic 16x16 grayscale PNG, full encode -> decode
+    (functions/imaging.decode_image: chunk walk, IDAT inflate, scanline
+    unfilter), split the decoded pixels into a 4x4 grid of 4x4-pixel
+    patches and emit one row per patch with integer-exact mean/min/max
+    luma — the ViT-preprocessing shape (image -> patch sequence) on a
+    driver-checked path.
+
+    The oracle recomputes every pixel from md5 hex arithmetic (the m06
+    byte-level discipline), so the value hash proves the codec round-trip
+    is lossless AND the patch indexing/stats agree to the byte.
+
+    Scale shape: mapInPandas, Arrow-batched, embarrassingly parallel —
+    payload bytes never shuffle; the patch fan-out (16 rows/doc) happens
+    Python-side inside the batch, and the output carries only (ids, 3
+    small ints).  At 100 TB this is the canonical decode stage: one
+    pass, no exchange, output ~constant bytes per image.
+    """
+    from sqlrs_spark.functions.imaging import decode_image, encode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w, p = _M07_W, _M07_P
+
+    def to_patches(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "patch_y", "patch_x",
+                                   "mean_luma", "min_luma", "max_luma")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = _hashlib.md5(text.encode("utf-8")).hexdigest()
+                pattern = bytearray()
+                for i in range(w * w // 16):
+                    pattern += _hashlib.md5(f"{seed}{i}".encode()).digest()
+                dw, dh, pix = decode_image(encode_png(w, w, bytes(pattern), color_type=0))
+                assert (dw, dh) == (w, w)
+                for py in range(w // p):
+                    for px_ in range(w // p):
+                        vals = [
+                            pix[(py * p + dy) * w + (px_ * p + dx)]
+                            for dy in range(p)
+                            for dx in range(p)
+                        ]
+                        out["doc_id"].append(int(doc_id))
+                        out["patch_y"].append(py)
+                        out["patch_x"].append(px_)
+                        out["mean_luma"].append(sum(vals) // (p * p))
+                        out["min_luma"].append(min(vals))
+                        out["max_luma"].append(max(vals))
+            yield _pd.DataFrame(out)
+
+    grid = docs.mapInPandas(
+        to_patches,
+        schema="doc_id bigint, patch_y int, patch_x int,"
+        " mean_luma int, min_luma int, max_luma int",
+    )
+    return grid.orderBy("doc_id", "patch_y", "patch_x")

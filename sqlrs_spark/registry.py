@@ -121,19 +121,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "p26_semantic_dedup",
     "t12_unigram_lm_score",
     "s09_stream_stream_outer_join",
+    "m07_patch_grid",
+    "x27_range_windows",
     "t01_token_count",
     # (e) backfill: bench-set members whose only rows are from r1 (q06,
-    # q25), plus one representative per §2 family so every operator class
-    # keeps a recent hard row (scan/DDL v01/v03, scalar subquery q21; the
-    # outer-join/distinct/limit-offset/semi-anti/date-interval families
-    # are code-identical since their green r1 rows, so
-    # q07/q12/q13/x01/x02/q15 yield their slots to the group-(a)/(d)
-    # rewrites and first-time rows above)
+    # q25), plus a DDL-family representative (v03; the
+    # scan/outer-join/distinct/limit-offset/semi-anti/date-interval/
+    # scalar-subquery families are code-identical since their green r1
+    # rows, so v01/q07/q12/q13/x01/x02/q15/q21 yield their slots to the
+    # group-(a)/(d) rewrites and first-time rows above)
     "q06_simple_agg",
     "q25_large_orders",
-    "v01_values_scan",
     "v03_ddl_roundtrip",
-    "q21_top_supplier",
 )
 
 
