@@ -324,6 +324,16 @@ def test_x19_single_window_sort(spark, sf_dir):
     assert s.count("Window") <= 2, s[:2000]
 
 
+def test_x27_range_frames_fuse_one_window(spark, sf_dir):
+    # both interval frames (1h, 24h) share the (user_id, ts) spec ->
+    # Catalyst plans ONE Window node and one exchange+sort, not one per
+    # frame width; the frames differ only in their RangeFrame bound
+    df = SPECS["x27_range_windows"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert count_nodes(df, "Window") == 1, s[:2000]
+    assert count_nodes(df, "Exchange") <= 2  # user_id shuffle + output sort
+
+
 def test_x26_bucketed_join_no_fact_shuffle(spark, sf_dir):
     # the co-bucketed orders/lineitem scans satisfy the join's
     # distribution requirement, so with broadcast ruled out (at real SFs
