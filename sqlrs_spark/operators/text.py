@@ -597,6 +597,8 @@ def t09_unicode_clean(spark, sf_dir):
         ws = re.compile("[ \t\n\r]+")
 
         def one(x):
+            if x is None:  # NULL text stays NULL (matches the SQL oracle)
+                return None
             x = unicodedata.normalize("NFC", x)
             x = ctrl.sub("", x)
             x = ws.sub(" ", x)
@@ -609,7 +611,10 @@ def t09_unicode_clean(spark, sf_dir):
     fast_rows = docs.filter(is_ascii).select(
         "doc_id", "text", F.trim(F.regexp_replace("text", " +", " ")).alias("ctext")
     )
-    slow_rows = docs.filter(~is_ascii).select(
+    # NOT-true, not just false: rlike(NULL) is NULL, and NULL-text rows
+    # must still emit their (NULL ctext) row exactly as the oracle does —
+    # a plain ~is_ascii filter would drop them from both union arms
+    slow_rows = docs.filter(~is_ascii.eqNullSafe(True)).select(
         "doc_id", "text", clean_udf(F.col("text")).alias("ctext")
     )
     cleaned = fast_rows.unionAll(slow_rows)

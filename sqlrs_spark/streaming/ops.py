@@ -74,12 +74,19 @@ def _drain_memory_sink(stream_df: DataFrame, query_name: str, mode: str) -> Data
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    out = spark.table(name)
-    # materialize before the memory sink is dropped
-    result = spark.createDataFrame(out.collect(), out.schema)
-    spark.catalog.dropTempView(name)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        q.awaitTermination()
+        out = spark.table(name)
+        # materialize before the memory sink is dropped
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        # a failed query must not leak its scratch (the leak this helper
+        # exists to stop) nor its memory-sink temp view
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)
     return result
 
 

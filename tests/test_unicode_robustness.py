@@ -147,3 +147,22 @@ class TestT09UnicodeClean:
         for c in self.CASES:
             once = _t09_clean_py(c)
             assert _t09_clean_py(once) == once
+
+
+def test_t09_null_text_rows_survive_the_union_split(spark, tmp_path):
+    """Regression (round-3 review): rlike(NULL) is NULL, so a plain
+    ~is_ascii filter on the slow arm would drop NULL-text rows from BOTH
+    union arms — the SQL oracle keeps one row per document with NULL
+    ctext/digest, so the row must survive with NULL stats."""
+    d = str(tmp_path)
+    df = spark.createDataFrame(
+        [(1, "plain ascii"), (2, None), (3, "café")],
+        "doc_id bigint, text string",
+    )
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r.doc_id: r for r in SPECS["t09_unicode_clean"].fn(spark, d).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2].n_chars_clean is None
+    assert rows[2].clean_digest is None
+    assert rows[2].changed is None
+    assert rows[1].changed is False and rows[3].changed is False
