@@ -83,13 +83,46 @@ def bench_conf(sf_dir: str) -> dict[str, str]:
     """
     conf: dict[str, str] = {}
     shm = "/dev/shm"
+    inp = total_bytes(sf_dir)
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        conf["spark.local.dir"] = os.path.join(shm, "sqlrs_shuffle")
-    mem_gb = max(16, min(48, (2 * total_bytes(sf_dir)) >> 30))
+        # capacity, not just writability: Docker's default shm is 64 MB,
+        # and a shuffle volume can approach the (compressed) input size —
+        # require 4x headroom or shuffle writes die mid-bench with ENOSPC
+        # and tmpfs pressure competes with the heap this same function
+        # requests.  Falls back to Spark's default local dir otherwise.
+        try:
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize >= 4 * inp:
+                conf["spark.local.dir"] = os.path.join(shm, "sqlrs_shuffle")
+        except OSError:
+            pass
+    mem_gb = max(16, min(48, (2 * inp) >> 30))
     conf["spark.driver.memory"] = os.environ.get(
         "SPARK_GRAFT_DRIVER_MEM", f"{mem_gb}g"
     )
     return conf
+
+
+def bench_session_conf(sf_dir: str, cpus: int) -> dict[str, str]:
+    """The full extra_conf the bench session runs with — shared with
+    tools/bench10x's --only-bucketed path so a bucketed-only re-time uses
+    the IDENTICAL session (warehouse dir, RAM shuffle, heap, split sizes)
+    as the run whose artifact it merges into."""
+    return {
+        "spark.sql.files.maxPartitionBytes": str(split_bytes(sf_dir, cpus)),
+        "spark.sql.files.openCostInBytes": str(256 << 10),
+        # the bench materializes full results via toArrow; at the
+        # 1000x replica wide outputs (t01: 5M rows) exceed the 1 GiB
+        # default and kill the job mid-collect
+        "spark.driver.maxResultSize": "6g",
+        # bucketed-layout tables (tools/bench10x.bench_bucketed) are
+        # GBs at the big replicas — keep them out of the repo's cwd
+        # warehouse; they're reused across runs like any ingest layout
+        "spark.sql.warehouse.dir": os.path.join(
+            tempfile.gettempdir(), "sqlrs_warehouse"
+        ),
+        **bench_conf(sf_dir),
+    }
 
 
 def bench_spark(sf_dir: str, cpus: int | None = None, app: str = "sqlrs_spark_bench"):
@@ -109,21 +142,7 @@ def bench_spark(sf_dir: str, cpus: int | None = None, app: str = "sqlrs_spark_be
         app,
         cores=cpus,
         shuffle_partitions=shuffle_parts(sf_dir, cpus),
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(split_bytes(sf_dir, cpus)),
-            "spark.sql.files.openCostInBytes": str(256 << 10),
-            # the bench materializes full results via toArrow; at the
-            # 1000x replica wide outputs (t01: 5M rows) exceed the 1 GiB
-            # default and kill the job mid-collect
-            "spark.driver.maxResultSize": "6g",
-            # bucketed-layout tables (tools/bench10x.bench_bucketed) are
-            # GBs at the big replicas — keep them out of the repo's cwd
-            # warehouse; they're reused across runs like any ingest layout
-            "spark.sql.warehouse.dir": os.path.join(
-                tempfile.gettempdir(), "sqlrs_warehouse"
-            ),
-            **bench_conf(sf_dir),
-        },
+        extra_conf=bench_session_conf(sf_dir, cpus),
     )
     import gc
 

@@ -28,9 +28,13 @@ def materialize_then_rm(df: DataFrame, *paths: str) -> DataFrame:
     """
     import shutil
 
-    out = df.sparkSession.createDataFrame(df.collect(), df.schema)
-    for p in paths:
-        shutil.rmtree(p, ignore_errors=True)
+    try:
+        out = df.sparkSession.createDataFrame(df.collect(), df.schema)
+    finally:
+        # failure paths (task OOM, interrupt, bad data) must not leak the
+        # scratch this helper exists to remove
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
     return out
 
 
@@ -165,14 +169,17 @@ def packed_minmax(value: Column, id_col: Column) -> Column:
     coincides exactly with the struct's lexicographic order (min value
     first, min id as tie-break; symmetrically for max).
 
-    Bounds: value < 1e22 (money cents: max TPC-H extendedprice ~1e7
-    cents) and id < 1e15; the typed arithmetic below stays within
-    DECIMAL(38,0) with no precision-loss rewrite, so out-of-range inputs
-    fail loudly under ANSI rather than mis-ordering silently.
+    Bounds: value < 1e21 (money cents: max TPC-H extendedprice ~1e7
+    cents — 14 orders of headroom) and id < 1e15.  The cast width is the
+    binding bound: DECIMAL(21,0) * DECIMAL(16,0) -> DECIMAL(38,0) is the
+    widest product that avoids Spark's precision-loss rewrite, so the
+    arithmetic is exact in range; out of range, ANSI mode fails loudly,
+    non-ANSI nulls the row out of the MIN/MAX (degraded, not mis-ordered
+    — a NULL never wins an argmin).
     """
-    v = value.cast("decimal(20,0)")
+    v = value.cast("decimal(21,0)")
     base = F.lit(_PACK_BASE).cast("decimal(16,0)")
-    return v * base + id_col.cast("decimal(20,0)")
+    return v * base + id_col.cast("decimal(16,0)")
 
 
 def unpack_id(packed: Column) -> Column:
@@ -235,7 +242,12 @@ def measured_broadcast(df: DataFrame, max_rows: int | None = None) -> DataFrame:
     limit = max_rows or int(
         spark.conf.get("spark.sqlrs.measuredBroadcast.maxRows", "30000000")
     )
-    h = df.semanticHash()
+    # Key by (applicationId, semanticHash): a memoized frame is persisted
+    # IN its session — returning it to a different (later) session would
+    # hand out a DataFrame bound to a stopped SparkContext.  Entries of a
+    # dead session simply stop matching and age out of the LRU.
+    app = spark.sparkContext.applicationId
+    h = (app, df.semanticHash())
     for i, entry in enumerate(_MEASURED_MEMO):
         if entry[0] == h and df.sameSemantics(entry[1]):
             # LRU touch
@@ -253,5 +265,8 @@ def measured_broadcast(df: DataFrame, max_rows: int | None = None) -> DataFrame:
     while len(_MEASURED_MEMO) > 4:
         old = _MEASURED_MEMO.pop(0)[3]
         if old is not None:
-            old.unpersist(False)
+            try:
+                old.unpersist(False)
+            except Exception:
+                pass  # evicting an entry whose session has stopped
     return result

@@ -406,12 +406,15 @@ def m05_image_neardup(spark, sf_dir):
     Hamming <= 6.
 
     Planted twins (see oracle note): every 50th doc also renders a
-    perturbed copy under id doc_id + 2^50.  The perturbation rewrites the
-    top 2-pixel row of blocks — base images carry a strictly-decreasing
-    ramp (all 8 row-0 comparisons true), twins an ascending prefix of
-    length f = (doc_id/50) % 4 — so the twin's dHash differs in exactly
-    f bits, all within band 3, while the other 3 bands (48 bits of
-    md5-noise rows) are untouched.  The driver hash therefore covers
+    perturbed copy under id doc_id + 2^50.  The perturbation re-authors
+    the top 2-pixel row of blocks to reproduce the BASE image's 8 row-0
+    comparison signs with the first f = (doc_id/50) % 4 flipped — so the
+    twin's dHash differs in exactly f bits, all within the rows-0/1
+    band, while the other 3 bands (md5-noise rows) are untouched.  Base
+    images keep their natural md5 row 0: every band retains its full
+    16-bit entropy for unrelated pairs (an earlier fixed-ramp variant
+    pinned 8 of band 3's bits corpus-wide — 256x the unrelated-pair band
+    collisions, a quadratic candidate blowup at corpus scale).  The driver hash therefore covers
     true non-identical-byte near-dup discovery end to end: different
     PNGs, real decode, f-bit Hamming, band-join recall.
 
@@ -458,16 +461,37 @@ def m05_image_neardup(spark, sf_dir):
                     pattern += _hashlib.md5(seed + bytes([i])).digest()
                     i += 1
                 pattern = bytearray(pattern[: w * h])
-                set_row0(pattern, [180 - 20 * gx for gx in range(9)])
+                # base images keep their NATURAL md5 row 0 — a fixed ramp
+                # here made the 8 row-0 dHash bits constant corpus-wide,
+                # collapsing band 3 from 16 to 8 effective entropy bits
+                # (256x the unrelated-pair band collisions: a quadratic
+                # candidate blowup at corpus scale, found in round-3
+                # review); the planted Hamming contract only needs the
+                # TWIN's comparisons defined relative to the base's.
                 ids.append(doc_id)
                 hashes.append(hash_of(pattern))
                 if doc_id % every == 0:
                     f = (doc_id // every) % 4
-                    # ascending prefix flips comparisons 0..f-1; the
-                    # strictly-decreasing tail keeps comparisons f..7 true
-                    vals = [10 + 10 * j for j in range(f + 1)] + [
-                        10 + 10 * f - j for j in range(1, 9 - (f + 1) + 1)
+                    # base row-0 block means, exactly as dhash64 computes
+                    # them (2x2 integer sum // 4)
+                    m = [
+                        (
+                            pattern[2 * gx]
+                            + pattern[2 * gx + 1]
+                            + pattern[w + 2 * gx]
+                            + pattern[w + 2 * gx + 1]
+                        )
+                        // 4
+                        for gx in range(9)
                     ]
+                    # author twin block values reproducing the base's
+                    # comparison signs with the first f flipped: bit gx
+                    # differs iff gx < f -> Hamming is exactly f, all
+                    # inside the rows-0/1 band, other bands untouched
+                    vals = [128]
+                    for gx in range(8):
+                        want = (m[gx] > m[gx + 1]) ^ (gx < f)
+                        vals.append(vals[-1] - 10 if want else vals[-1] + 10)
                     twin = bytearray(pattern)
                     set_row0(twin, vals)
                     ids.append(doc_id + off)

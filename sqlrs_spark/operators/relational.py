@@ -379,7 +379,12 @@ def q03_plan(spark, sf_dir, orders_src=None, li_src=None):
     # survivor (~2/3 of the fact) instead of only the ~20% that belong to
     # a BUILDING order.  Probe, project, and partial agg fuse into the
     # scan's codegen stage, so carrying the two raw money doubles to the
-    # join costs no materialization.
+    # join costs no materialization — WHILE ordc broadcasts.  Tradeoff on
+    # the over-ceiling fallback (reduction > 30M rows, un-hinted): the
+    # orderkey shuffle then carries the two doubles instead of one
+    # packed long (~1.5x row width) in exchange for skipping the money
+    # arithmetic on non-surviving rows; if that path ever dominates at a
+    # deployment's scale, hoist rev_c back above the join for that tier.
     return (
         li.join(ordc, li.l_orderkey == ordc.o_orderkey)
         .select("l_orderkey", "o_orderdate", rev_cents().alias("rev_c"))

@@ -338,13 +338,31 @@ def v11_partitioned_write(spark, sf_dir):
     selected partitions, not the table.
     """
     ev = load_table(spark, sf_dir, "events")
-    # stable per-process scratch, overwritten in place on re-invocation
-    # (NOT a fresh mkdtemp per call — the bench's warm+timed reruns would
-    # leak one full events copy each): v11 must return a LAZY plan so
-    # test_plans can assert the read's PartitionFilters, so the
-    # materialize-then-rm cleanup the other sink round-trips use (see
-    # operators/common.materialize_then_rm) is not available here.
-    out_dir = os.path.join(tempfile.gettempdir(), "sqlrs_scratch_v11", "events")
+    # stable per-(user, session) scratch, overwritten in place on
+    # re-invocation (NOT a fresh mkdtemp per call — the bench's
+    # warm+timed reruns would leak one full events copy each): v11 must
+    # return a LAZY plan so test_plans can assert the read's
+    # PartitionFilters, so the materialize-then-rm cleanup the other sink
+    # round-trips use is not available here.  The uid keeps multi-user
+    # hosts from colliding on permissions; the applicationId keeps two
+    # live sessions (parallel pytest + bench) from overwriting files the
+    # other's lazy plan is still reading; stale sibling sessions' dirs
+    # are swept best-effort after a day.
+    root = os.path.join(
+        tempfile.gettempdir(), f"sqlrs_scratch_v11_{os.getuid()}"
+    )
+    app = spark.sparkContext.applicationId
+    out_dir = os.path.join(root, app, "events")
+    try:
+        import shutil as _shutil
+        import time as _time
+
+        for sib in os.listdir(root):
+            p = os.path.join(root, sib)
+            if sib != app and _time.time() - os.path.getmtime(p) > 86400:
+                _shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
     (
         ev.repartition("event_type")
         .write.mode("overwrite")

@@ -682,11 +682,28 @@ class PreparedStatement:
         if len(args) == 1 and isinstance(args[0], (list, tuple)):
             args = tuple(args[0])
         bind = list(args) if args else (params or None)
-        df = (
-            self.session.spark.sql(self.sql_text, args=bind)
-            if bind is not None
-            else self.session.spark.sql(self.sql_text)
-        )
+
+        def _run(sql_text: str) -> DataFrame:
+            if bind is not None:
+                return self.session.spark.sql(sql_text, args=bind)
+            return self.session.spark.sql(sql_text)
+
+        try:
+            df = _run(self.sql_text)
+        except Exception as e:
+            # the same binder-quirk retries Session.sql applies — the
+            # prepared path must not support a narrower dialect than the
+            # sql() path it mirrors (alias-in-WHERE resolves at analysis,
+            # which for a parameterized statement happens at execute time)
+            rq = None
+            if "UNRESOLVED_COLUMN" in str(e) or "cannot be resolved" in str(e):
+                rq = _rewrite_where_alias(self.sql_text)
+            elif "CANNOT_SAFELY_CAST" in str(e):
+                rq = self.session._rewrite_insert_cast(self.sql_text)
+            if rq is None:
+                raise
+            df = _run(rq)
+            self.sql_text = rq  # later executes skip the failing parse
         if self.names is None:
             self.names = list(df.columns)
             self.types = [f.dataType.simpleString() for f in df.schema.fields]

@@ -160,3 +160,17 @@ def test_prepare_applies_frontend_rewrites(ctx, tmp_path):
         f"select name from read_csv('{p}', header=>true) where id > ? order by name"
     )
     assert ctx.execute_prepared(stmt, 1).rows == [("lin",), ("tess",)]
+
+
+def test_prepare_applies_alias_in_where_retry(ctx):
+    """Round-3 review: the prepared path must support the same binder
+    quirks sql() retries — alias-in-WHERE resolves only at analysis,
+    which for a parameterized statement happens at execute time."""
+    ctx.query(
+        "create or replace temp view prep_a as "
+        "select * from values (1), (2), (3) as v(v1)"
+    )
+    stmt = ctx.prepare("select v1 + 1 as a from prep_a where a >= ? order by a")
+    assert ctx.execute_prepared(stmt, 3).rows == [(3,), (4,)]
+    # the rewritten text is kept: the second execute takes the fast path
+    assert ctx.execute_prepared(stmt, 4).rows == [(4,)]

@@ -141,6 +141,14 @@ def bench_bucketed(spark, dst: str) -> dict[str, float]:
     measurable at scale.  The one-time ETL write is timed separately
     (reused across runs via the table-exists check, like any real
     ingest-time layout).
+
+    buckets=64 here vs ensure_bucketed_facts' default 32: the replica
+    benches size buckets to the big replicas' core count; tables are
+    content-hash-named per (source digest, bucket count), so running
+    x26 (32 buckets, testdata SFs) and this section (64, replica dirs)
+    against the SAME directory would build two layouts — they never
+    share a directory in practice, but if you point both at one, expect
+    double ETL/storage.
     """
     import gc
 
@@ -212,7 +220,22 @@ def main() -> None:
     builder.stop()
 
     if args.only_bucketed:
-        spark = build_spark(f"sqlrs_spark_bench{args.factor}x_bucketed")
+        # IDENTICAL session conf to the full bench (warehouse dir, RAM
+        # shuffle, heap, splits) — a plain build_spark() here would miss
+        # the warehouse override and re-run the fact ETL into the cwd,
+        # and its timings would merge into an artifact measured under a
+        # different memory/shuffle regime
+        from bench import bench_session_conf
+
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+        from bench import shuffle_parts as _sp
+
+        spark = build_spark(
+            f"sqlrs_spark_bench{args.factor}x_bucketed",
+            cores=cpus,
+            shuffle_partitions=_sp(dst, cpus),
+            extra_conf=bench_session_conf(dst, cpus),
+        )
         bucketed_t = bench_bucketed(spark, dst)
         spark.stop()
         with open(out) as f:
