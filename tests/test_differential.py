@@ -325,3 +325,47 @@ def test_differential_date_arith(engines_join, sql):
     spark, duck = engines_join
     ok, msg = compare(spark.sql(sql), duck, sql)
     assert ok, f"{msg}\nSQL: {sql}"
+
+
+@st.composite
+def window_query(draw):
+    """Window family, restricted to PEER-STABLE functions: the synthetic
+    lineitem has duplicate (l_orderkey, l_linenumber) pairs (and fully
+    duplicate rows), so NO total order exists and row-positional
+    functions (ROW_NUMBER/NTILE/LAG, ROWS frames) are legitimately
+    engine-divergent.  RANK/DENSE_RANK and default-frame (RANGE)
+    aggregates depend only on the peer partition, so both engines must
+    agree bit-for-bit; the trailing LIMIT can cut a tie group
+    differently but the cut rows are identical tuples, so the multiset
+    compare still holds."""
+    part = draw(st.sampled_from(["l_returnflag", "l_linestatus", "l_orderkey % 5"]))
+    fn = draw(
+        st.sampled_from(
+            [
+                "RANK()",
+                "DENSE_RANK()",
+                "CAST(COUNT(*) OVER w AS BIGINT)",
+                "CAST(SUM(l_linenumber) OVER w AS BIGINT)",
+            ]
+        )
+    )
+    where = draw(_where)
+    expr = fn if "OVER" in fn else f"{fn} OVER w"
+    return (
+        f"SELECT l_orderkey, l_linenumber, {expr} AS wv "
+        f"FROM lineitem {where} "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY l_orderkey, l_linenumber) "
+        f"ORDER BY l_orderkey, l_linenumber LIMIT 100"
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=window_query())
+def test_differential_window(engines, sql):
+    spark, duck = engines
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"
