@@ -186,64 +186,6 @@ def test_differential_having(engines, sql):
 
 
 @st.composite
-def window_query(draw):
-    # (l_orderkey, l_linenumber) is NOT unique in the driver testdata
-    # (sf0.001 has ~1.1k duplicate pairs), so the window order has ties.
-    # The output is still deterministic as a multiset: tied rows are
-    # identical in every projected column, so ROW_NUMBER assignment
-    # within a tie is interchangeable, and LAG/LEAD/framed-agg values of
-    # l_linenumber are determined by the sorted value sequence alone.
-    # The one nondeterminism left is the LIMIT cut across a tie group —
-    # pinned by adding w as the final ORDER BY tiebreak below.
-    func = draw(
-        st.sampled_from(
-            [
-                "ROW_NUMBER()",
-                "RANK()",
-                "DENSE_RANK()",
-                "SUM(l_linenumber)",
-                "COUNT(*)",
-                "MIN(l_linenumber)",
-                "LAG(l_linenumber, 1, 0)",
-                "LEAD(l_linenumber, 1, 0)",
-            ]
-        )
-    )
-    part = draw(st.sampled_from(["l_returnflag", "l_linestatus", "l_orderkey % 5"]))
-    where = draw(_where)
-    frame = (
-        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-        if func.startswith(("SUM", "COUNT", "MIN"))
-        else ""
-    )
-    # CAST: DuckDB widens windowed SUM(BIGINT) to HUGEINT; the explicit
-    # BIGINT cast (valid in both engines) pins the common output type —
-    # same discipline every registry oracle follows.
-    return (
-        f"SELECT l_orderkey, l_linenumber, "
-        f"CAST({func} OVER (PARTITION BY {part} "
-        f"ORDER BY l_orderkey, l_linenumber{frame}) AS BIGINT) AS w "
-        f"FROM lineitem {where} "
-        f"ORDER BY l_orderkey, l_linenumber, w LIMIT 200"
-    )
-
-
-@settings(
-    max_examples=10,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
-)
-@given(sql=window_query())
-def test_differential_window(engines, sql):
-    # window functions are a beyond-reference extension (SURVEY §2.5 "none
-    # in reference") — fuzz rank/offset/framed-agg shapes over a total
-    # per-partition order so both engines are forced to one answer
-    spark, duck = engines
-    ok, msg = compare(spark.sql(sql), duck, sql)
-    assert ok, f"{msg}\nSQL: {sql}"
-
-
-@st.composite
 def limit_offset_query(draw):
     # limit/offset windowing is a reference operator with real edge cases
     # (offset past end, limit 0 — src/executor/limit.rs:10-81); fuzz the
@@ -335,9 +277,15 @@ def window_query(draw):
     functions (ROW_NUMBER/NTILE/LAG, ROWS frames) are legitimately
     engine-divergent.  RANK/DENSE_RANK and default-frame (RANGE)
     aggregates depend only on the peer partition, so both engines must
-    agree bit-for-bit; the trailing LIMIT can cut a tie group
-    differently but the cut rows are identical tuples, so the multiset
-    compare still holds."""
+    agree bit-for-bit.
+
+    The outer sort must make the LIMIT cut multiset-invariant: a bare
+    (l_orderkey, l_linenumber) sort is NOT enough, because the same key
+    pair can recur in *different* window partitions (e.g. two (3,2) rows
+    with different l_returnflag) and so carry different wv — both engines
+    may legally keep different tied rows at the cut.  Appending wv pins
+    it: rows tying on the full (l_orderkey, l_linenumber, wv) triple are
+    identical projected tuples, so the cut multiset is unique."""
     part = draw(st.sampled_from(["l_returnflag", "l_linestatus", "l_orderkey % 5"]))
     fn = draw(
         st.sampled_from(
@@ -355,12 +303,12 @@ def window_query(draw):
         f"SELECT l_orderkey, l_linenumber, {expr} AS wv "
         f"FROM lineitem {where} "
         f"WINDOW w AS (PARTITION BY {part} ORDER BY l_orderkey, l_linenumber) "
-        f"ORDER BY l_orderkey, l_linenumber LIMIT 100"
+        f"ORDER BY l_orderkey, l_linenumber, wv LIMIT 100"
     )
 
 
 @settings(
-    max_examples=12,
+    max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
