@@ -63,8 +63,15 @@ def split_bytes(sf_dir: str, cpus: int) -> int:
     return min(max(biggest // (2 * cpus), 4 << 20), 128 << 20)
 
 
-def bench_conf(sf_dir: str) -> dict[str, str]:
+def bench_conf(sf_dir: str | None, inp: int | None = None) -> dict[str, str]:
     """Environment-level conf that scales with the benched data size.
+
+    ``inp`` overrides the measured input size — used by tools/bench10x to
+    size the FIRST session of the process (the replica builder) for a
+    replica that does not exist yet.  spark.driver.memory (and the cached
+    local-dir roots) only take effect when the first SparkContext of the
+    process launches the JVM; a later bench session's request is silently
+    ignored, so whoever starts the JVM must carry the bench-sized conf.
 
     - ``spark.local.dir`` on a RAM-backed fs when one exists: shuffle
       blocks + spills then never touch the data disk.  Measured at the
@@ -83,7 +90,8 @@ def bench_conf(sf_dir: str) -> dict[str, str]:
     """
     conf: dict[str, str] = {}
     shm = "/dev/shm"
-    inp = total_bytes(sf_dir)
+    if inp is None:
+        inp = total_bytes(sf_dir)
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
         # capacity, not just writability: Docker's default shm is 64 MB,
         # and a shuffle volume can approach the (compressed) input size —
@@ -101,6 +109,26 @@ def bench_conf(sf_dir: str) -> dict[str, str]:
         "SPARK_GRAFT_DRIVER_MEM", f"{mem_gb}g"
     )
     return conf
+
+
+def verify_heap(spark, conf: dict[str, str]) -> float:
+    """Return the JVM's actual max heap in GiB and warn if it is well below
+    the heap ``conf`` requested — which happens whenever an earlier session
+    of the same process launched the JVM with a smaller (default) heap.
+    The caller should then fix session ordering, not trust the timings."""
+    actual_gb = spark._jvm.java.lang.Runtime.getRuntime().maxMemory() / (1 << 30)
+    req = conf.get("spark.driver.memory", "")
+    if req.endswith("g") and req[:-1].isdigit():
+        req_gb = int(req[:-1])
+        # -Xmx N g reports slightly under N (survivor-space accounting)
+        if actual_gb < 0.8 * req_gb:
+            print(
+                f"# WARNING: JVM heap {actual_gb:.1f} GiB < requested {req_gb} GiB"
+                " — spark.driver.memory was set after the JVM launched;"
+                " timings below run under the wrong heap",
+                file=sys.stderr,
+            )
+    return round(actual_gb, 2)
 
 
 def bench_session_conf(sf_dir: str, cpus: int) -> dict[str, str]:
@@ -138,12 +166,14 @@ def bench_spark(sf_dir: str, cpus: int | None = None, app: str = "sqlrs_spark_be
     from sqlrs_spark.session import build_spark
 
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    conf = bench_session_conf(sf_dir, cpus)
     spark = build_spark(
         app,
         cores=cpus,
         shuffle_partitions=shuffle_parts(sf_dir, cpus),
-        extra_conf=bench_session_conf(sf_dir, cpus),
+        extra_conf=conf,
     )
+    verify_heap(spark, conf)
     import gc
 
     specs = [s for s in all_specs().values() if s.bench]

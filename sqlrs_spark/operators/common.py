@@ -206,7 +206,8 @@ def unpack_value(packed: Column) -> Column:
 # the per-dataset statistic was being recomputed on every query, which no
 # real engine does (a warehouse computes table stats at ingest; this memo
 # is the session-scoped analogue for derived semi-join reductions).
-# Entries: (semantic_hash, probe_df, memoized_result).  Staleness caveat
+# Entries: (key, probe_df, memoized_result, cached_or_None) where key =
+# (applicationId, semanticHash, resolved_row_ceiling).  Staleness caveat
 # is exactly df.persist()'s: external mutation of the underlying files
 # mid-session is out of contract.
 _MEASURED_MEMO: list[tuple] = []
@@ -242,12 +243,15 @@ def measured_broadcast(df: DataFrame, max_rows: int | None = None) -> DataFrame:
     limit = max_rows or int(
         spark.conf.get("spark.sqlrs.measuredBroadcast.maxRows", "30000000")
     )
-    # Key by (applicationId, semanticHash): a memoized frame is persisted
-    # IN its session — returning it to a different (later) session would
-    # hand out a DataFrame bound to a stopped SparkContext.  Entries of a
-    # dead session simply stop matching and age out of the LRU.
+    # Key by (applicationId, semanticHash, limit): a memoized frame is
+    # persisted IN its session — returning it to a different (later)
+    # session would hand out a DataFrame bound to a stopped SparkContext —
+    # and the broadcast-vs-shuffle verdict depends on the row ceiling, so
+    # a later call under a different max_rows / conf must re-measure
+    # rather than inherit a verdict the new ceiling would refuse.  Entries
+    # of a dead session simply stop matching and age out of the LRU.
     app = spark.sparkContext.applicationId
-    h = (app, df.semanticHash())
+    h = (app, df.semanticHash(), limit)
     for i, entry in enumerate(_MEASURED_MEMO):
         if entry[0] == h and df.sameSemantics(entry[1]):
             # LRU touch

@@ -66,22 +66,30 @@ def _drain_memory_sink(stream_df: DataFrame, query_name: str, mode: str) -> Data
     spark = stream_df.sparkSession
     name = f"{query_name}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    q = None
     try:
+        # start() inside the try: a rejected plan (bad output mode,
+        # unsupported op) must not leak the just-created checkpoint dir
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
         q.awaitTermination()
         out = spark.table(name)
         # materialize before the memory sink is dropped
         result = spark.createDataFrame(out.collect(), out.schema)
     finally:
-        # a failed query must not leak its scratch (the leak this helper
-        # exists to stop) nor its memory-sink temp view
+        # a failed query must not stay running, nor leak its scratch (the
+        # leak this helper exists to stop) nor its memory-sink temp view
+        if q is not None:
+            try:
+                q.stop()
+            except Exception:
+                pass
         try:
             spark.catalog.dropTempView(name)
         except Exception:
@@ -590,7 +598,10 @@ def s08_stream_foreachbatch_sink(spark, sf_dir):
     # same conservative eviction margin the streaming side applies (see
     # docstring) so the hash never touches the eviction boundary itself
     oracle="""
-    WITH horizon AS (SELECT MAX(ts) AS max_ts FROM events)
+    WITH horizon AS (
+        SELECT LEAST(MAX(CASE WHEN event_type = 'view' THEN ts END),
+                     MAX(CASE WHEN event_type = 'click' THEN ts END)) AS least_max
+        FROM events)
     SELECT v.user_id,
            v.event_id AS view_id,
            c.event_id AS click_id,
@@ -601,7 +612,7 @@ def s08_stream_foreachbatch_sink(spark, sf_dir):
      AND c.ts > v.ts
      AND c.ts <= v.ts + INTERVAL 30 MINUTE
     WHERE c.event_id IS NOT NULL
-       OR v.ts <= (SELECT max_ts FROM horizon) - INTERVAL 2 HOUR
+       OR v.ts <= (SELECT least_max FROM horizon) - INTERVAL 2 HOUR
     ORDER BY view_id, click_id
     """,
     tags=("pipeline", "streaming"),
@@ -619,11 +630,17 @@ def s09_stream_stream_outer_join(spark, sf_dir):
     Determinism contract: views younger than the final watermark horizon
     are STILL IN STATE at query end — whether their null row exists depends
     on the engine's exact eviction boundary.  Both sides therefore apply
-    the same conservative margin: unmatched views count only when
-    view_ts <= max(ts) - 2 h (strictly inside the 1 h watermark + 30 min
-    window boundary at max(ts) - 90 min), so the value hash covers every
-    matched pair plus every confidently-evicted view and no boundary row.
-    max(ts) comes from the batch table — fixed data, deterministic margin.
+    the same conservative margin anchored to the watermark Spark ACTUALLY
+    computes: under the default min multiple-watermark policy the global
+    watermark is min(max view_ts, max click_ts) - 1 h — NOT max(ts) - 1 h.
+    If clicks end early (one stream's events stop >30 min before the
+    other's), a max(ts)-anchored margin would claim null rows the stream
+    never evicts.  Unmatched views count only when
+    view_ts <= least(max view_ts, max click_ts) - 2 h (30 min strictly
+    inside the eviction boundary at least_max - 90 min), so the value hash
+    covers every matched pair plus every confidently-evicted view and no
+    boundary row.  Both maxima come from the batch table — fixed data,
+    deterministic margin.
 
     At scale: both arms hash-partition on user_id (co-partitioned state
     lookup per micro-batch, no re-shuffle); outer-join state holds only
@@ -675,14 +692,23 @@ def s09_plan(spark, sf_dir, ev_stream=None):
         "view_ts",
     )
     result = _drain_memory_sink(joined, "s09", "append")
-    # conservative eviction margin, mirrored in the oracle (docstring)
-    max_ts = (
-        load_static(spark, sf_dir, "events").agg(F.max("ts").alias("m")).collect()[0]["m"]
+    # conservative eviction margin, mirrored in the oracle (docstring):
+    # anchored to least(max view_ts, max click_ts) because Spark's min
+    # multiple-watermark policy pins the global watermark to the LAGGING
+    # stream's max event time, not the overall max(ts)
+    row = (
+        load_static(spark, sf_dir, "events")
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", F.col("ts"))).alias("mv"),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
+        )
+        .collect()[0]
     )
+    least_max = min(row["mv"], row["mc"])
     return (
         result.filter(
             F.col("click_id").isNotNull()
-            | (F.col("view_ts") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+            | (F.col("view_ts") <= F.lit(least_max) - F.expr("INTERVAL 2 HOURS"))
         )
         .drop("view_ts")
         .orderBy("view_id", "click_id")

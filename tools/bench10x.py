@@ -212,10 +212,18 @@ def main() -> None:
     dst = args.dir or f"/tmp/sqlrs_replica{args.factor}x"
     out = os.path.join(REPO, f"BENCH{args.factor}X_r{args.round:02d}.json")
 
-    from bench import bench_spark
+    from bench import bench_conf, bench_spark, total_bytes, verify_heap
     from sqlrs_spark.session import build_spark
 
-    builder = build_spark("sqlrs_replica_build")
+    # The FIRST SparkContext of the process launches the JVM, and
+    # spark.driver.memory / the cached local-dir roots are fixed at that
+    # point — later sessions' requests are silently ignored.  So the
+    # replica builder must carry the bench-sized conf, predicted from the
+    # source size (the replica itself may not exist yet): replica bytes
+    # ≈ factor × sf0.1 bytes (dims copied once, doc salting adds ~3%).
+    first_jvm_conf = bench_conf(None, inp=args.factor * total_bytes(SRC))
+    builder = build_spark("sqlrs_replica_build", extra_conf=first_jvm_conf)
+    heap_gb = verify_heap(builder, first_jvm_conf)
     build_replica(builder, dst, args.factor)
     builder.stop()
 
@@ -252,6 +260,20 @@ def main() -> None:
     spark.stop()
     duck_t = bench_duckdb(specs, dst)
 
+    # DuckDB-side timings swing on shared hardware between rounds (r3: q03
+    # oracle 22.9s→4.2s with unchanged SQL) — flag >1.5× swings vs the
+    # previous round's artifact so ratio movements are attributable to the
+    # Spark side vs baseline noise.
+    drift: dict[str, dict[str, float]] = {}
+    prev_path = os.path.join(REPO, f"BENCH{args.factor}X_r{args.round - 1:02d}.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev_duck = json.load(f).get("duckdb_queries", {})
+        for n, now in duck_t.items():
+            prev = prev_duck.get(n)
+            if prev and max(now / prev, prev / now) > 1.5:
+                drift[n] = {"prev": prev, "now": now, "swing": round(now / prev, 2)}
+
     common = [n for n in spark_t if n in duck_t]
     result = {
         "metric": f"bench{args.factor}x_total",
@@ -270,6 +292,9 @@ def main() -> None:
         "sf": f"~{args.factor / 10:g} ({args.factor}x key-shifted token-salted sf0.1,"
         " multi-file layout)",
     }
+    result["driver_heap_gb"] = heap_gb
+    if drift:
+        result["duckdb_drift"] = drift
     if bucketed_t:
         result["bucketed"] = bucketed_t
     line = json.dumps(result)

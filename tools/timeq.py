@@ -23,21 +23,20 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
 
-    from bench import bench_conf, shuffle_parts, split_bytes  # noqa: F401
+    from bench import bench_session_conf, shuffle_parts
     from sqlrs_spark.registry import all_specs
     from sqlrs_spark.session import build_spark
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # the FULL bench session conf, not a hand-copied subset: the warehouse
+    # override matters here too — timing a bucketed-layout op (x26,
+    # ensure_bucketed_facts callers) without it ETLs multi-GB bucketed
+    # tables into the repo-cwd warehouse
     spark = build_spark(
         "sqlrs_timeq",
         cores=cpus,
         shuffle_partitions=shuffle_parts(args.sf_dir, cpus),
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(split_bytes(args.sf_dir, cpus)),
-            "spark.sql.files.openCostInBytes": str(256 << 10),
-            "spark.driver.maxResultSize": "6g",
-            **bench_conf(args.sf_dir),
-        },
+        extra_conf=bench_session_conf(args.sf_dir, cpus),
     )
     specs = all_specs()
     for name in args.queries:
