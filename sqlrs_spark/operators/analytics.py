@@ -295,6 +295,11 @@ def q25_large_orders(spark, sf_dir):
     orders on the *same* key — AQE converts that join to broadcast at
     runtime, so the orders side never shuffles.
     """
+    from sqlrs_spark.sources.bucketing import adopted_bucketed_facts
+
+    facts = adopted_bucketed_facts(spark, sf_dir)
+    if facts is not None:
+        return q25_plan(spark, sf_dir, *facts)
     return q25_plan(spark, sf_dir)
 
 

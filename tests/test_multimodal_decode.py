@@ -96,8 +96,17 @@ def test_png_unfilter_sub_up_average_paeth(ftype):
 
 
 def test_png_rejects_non_png_and_exotic():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    from sqlrs_spark.functions.imaging import _pil
+
+    if _pil() is None:
+        # no Pillow in this environment: non-PNG must fail loudly with the
+        # documented boundary error, never a silent fake
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    else:
+        # Pillow present: truncated junk must still fail (its own error)
+        with pytest.raises(Exception):
+            decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
     # 16-bit depth PNG: valid container, unsupported depth
     import struct
 
@@ -151,8 +160,56 @@ def test_wav_roundtrip_meta_and_pcm():
 
 
 def test_wav_rejects_compressed():
-    with pytest.raises(NotImplementedError):
-        decode_audio(b"ID3\x04mp3 data")
+    from sqlrs_spark.functions.imaging import _ffmpeg
+
+    if _ffmpeg() is None:
+        with pytest.raises(NotImplementedError):
+            decode_audio(b"ID3\x04mp3 data")
+    else:
+        # ffmpeg present: garbage must still fail (transcode error)
+        with pytest.raises(Exception):
+            decode_audio(b"ID3\x04mp3 data")
+
+
+def test_jpeg_decodes_via_pillow_backend():
+    """Backend-parametrized decode (round-3 verdict #8): with Pillow
+    present, a real JPEG round-trips through the same decode_image
+    signature; skipped (not failed) where the backend is absent."""
+    from sqlrs_spark.functions.imaging import _pil, decode_image
+
+    img_mod = _pil()
+    if img_mod is None:
+        pytest.skip("Pillow not installed in this environment")
+    import io as _io
+
+    src = img_mod.new("RGB", (20, 12), (10, 200, 30))
+    buf = _io.BytesIO()
+    src.save(buf, format="JPEG")
+    w, h, px = decode_image(buf.getvalue())
+    assert (w, h) == (20, 12)
+    assert len(px) == 20 * 12 * 3
+
+
+def test_compressed_audio_decodes_via_ffmpeg_backend():
+    """With ffmpeg present, a non-WAV container transcodes into the same
+    decode_audio contract; skipped where absent."""
+    from sqlrs_spark.functions.imaging import _ffmpeg, decode_audio, encode_wav
+
+    if _ffmpeg() is None:
+        pytest.skip("ffmpeg not installed in this environment")
+    import subprocess
+
+    wav = encode_wav(8000, bytes(1600))  # 100ms of silence
+    # transcode WAV -> FLAC (lossless, so frame counts survive)
+    proc = subprocess.run(
+        [_ffmpeg(), "-v", "error", "-i", "pipe:0", "-f", "flac", "pipe:1"],
+        input=wav,
+        capture_output=True,
+        check=True,
+    )
+    meta = decode_audio(proc.stdout)
+    assert meta["sample_rate"] == 8000
+    assert meta["n_channels"] == 1
 
 
 def test_extract_meta_real_on_spark(spark):

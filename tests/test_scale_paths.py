@@ -284,3 +284,52 @@ def test_adopted_bucketed_table_keeps_layout(spark, sf_dir, bucketed_tables):
     finally:
         spark.sql("drop table if exists orders_adopted")
         shutil.rmtree(adopted_loc, ignore_errors=True)
+
+
+def test_adopted_facts_route_query_plans(spark, sf_dir):
+    """Path-equivalence gate for the bucketed-layout promotion (round-3
+    verdict #6): once a co-bucketed fact layout exists, the registered
+    q03/q05/q25/q28 entry points must route through it transparently and
+    return bit-identical results to the plain path."""
+    from sqlrs_spark.operators.analytics_deep import q28_nation_profit, q28_plan
+    from sqlrs_spark.operators.relational import q03_shipping_priority, q03_plan
+    from sqlrs_spark.sources.bucketing import (
+        adopted_bucketed_facts,
+        ensure_bucketed_facts,
+    )
+
+    plain_q28 = [tuple(r) for r in q28_plan(spark, sf_dir).collect()]
+    plain_q03 = [tuple(r) for r in q03_plan(spark, sf_dir).collect()]
+    o_t, l_t = ensure_bucketed_facts(spark, sf_dir)
+    try:
+        facts = adopted_bucketed_facts(spark, sf_dir)
+        assert facts is not None, "layout probe missed a just-built layout"
+        # the registered entry point now routes through the layout...
+        routed_q28 = [tuple(r) for r in q28_nation_profit(spark, sf_dir).collect()]
+        routed_q03 = [tuple(r) for r in q03_shipping_priority(spark, sf_dir).collect()]
+        assert routed_q28 == plain_q28
+        assert routed_q03 == plain_q03
+        # ...and the explicit bucketed sources agree too (the bench path)
+        bucketed_q28 = [
+            tuple(r)
+            for r in q28_plan(spark, sf_dir, spark.table(o_t), spark.table(l_t)).collect()
+        ]
+        assert bucketed_q28 == plain_q28
+    finally:
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        wh_path = urlparse(wh).path or wh
+        for tbl in (o_t, l_t):
+            spark.sql(f"drop table if exists {tbl}")
+            shutil.rmtree(os.path.join(wh_path, tbl), ignore_errors=True)
+
+
+def test_adopted_facts_probe_misses_cleanly(spark, tmp_path):
+    """The probe must return None (not ETL, not raise) for a dataset with
+    no layout — plain directories keep today's plan."""
+    from sqlrs_spark.sources.bucketing import adopted_bucketed_facts
+
+    assert adopted_bucketed_facts(spark, str(tmp_path)) is None
