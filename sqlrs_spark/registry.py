@@ -59,80 +59,67 @@ def register(
 # t01-t08/t10, m01/m02/m04/m06, s01-s07 keep their green r2 rows + the
 # local parity suite).  Rotated in, by reason:
 DRIVER_WINDOW: tuple[str, ...] = (
-    # (a) rewritten THIS round or last round after their only driver row —
-    # the hash gate must see the current arithmetic: the integer-cents
-    # money queries (q01/q03/q05/q22/q28 — r1 rows predate the rewrite;
-    # q03/q05/q22/q28 additionally moved to split-radix overflow-safe
-    # sums this round), the q34/p10 packed-decimal argmin/argmax, the t09
-    # ASCII fast path, the m03/m05/p18 contract reworks, and the sink
-    # round-trips whose result materialization changed (v09/v10/v12, s08)
-    "q01_pricing_summary",
+    # Round-4 curation. The recency rule (test_registry_window) demands a
+    # driver row at least every two rounds, so the bulk of this window is
+    # (a) every pipeline p/t/m/s entry whose latest row is r2 — they must
+    # re-verify now or fall out of hard verification next round:
+    "p01_dedup_exact",
+    "p02_dedup_minhash",
+    "p03_dedup_simhash",
+    "p04_dedup_ngram",
+    "p05_dedup_embedding",
+    "p06_ann_bruteforce",
+    "p07_ann_lsh",
+    "p08_ann_ivf",
+    "p09_dedup_clusters",
+    "p11_corpus_pipeline",
+    "p12_stratified_sample",
+    "p13_token_budget_pack",
+    "p14_domain_mix",
+    "p15_ann_multiprobe",
+    "p16_dedup_minhash_capped",
+    "p17_decontaminate",
+    "p19_rag_prep",
+    "p20_tfidf_terms",
+    "p21_fuzzy_vocab",
+    "p22_temperature_mix",
+    "p23_pps_sample",
+    "t02_language_id",
+    "t03_quality_score",
+    "t04_fingerprint",
+    "t05_chunking",
+    "t06_repetition",
+    "t07_pattern_scrub",
+    "t08_quality_rules",
+    "t10_boilerplate",
+    "m01_multimodal_meta",
+    "m02_frame_sample",
+    "m04_resize",
+    "m06_audio_windows",
+    "s01_stream_tumbling",
+    "s02_stream_stateful_sessions",
+    "s03_stream_sliding",
+    "s04_stream_dedup",
+    "s05_stream_static_join",
+    "s06_stream_funnel",
+    "s07_stream_stream_join",
+    # (b) rewritten THIS round after their r3 rows — the hash gate must
+    # see the current plans: q03/q05 (tiered measured-join strategy +
+    # bloom prefilter), q25/q28 (bucketed-layout promotion routing), x15
+    # (error-bound contract rework: new schema, first-ever value hash)
     "q03_shipping_priority",
     "q05_local_volume",
-    "q22_volume_shipping",
-    "q28_nation_profit",
-    "q34_min_cost_supplier",
-    "p10_dedup_canonical",
-    "t09_unicode_clean",
-    "m03_fake_embed",
-    "m05_image_neardup",
-    "p18_ann_ivf_kmeans",
-    "v09_partitioned_sink",
-    "v10_jsonl_roundtrip",
-    "v12_orc_roundtrip",
-    "s08_stream_foreachbatch_sink",
-    # (b) benched headline queries that never had a driver row (r2 verdict
-    # "What's missing" #1)
-    "x12_asof_join",
-    "x18_funnel",
-    # (c) first-ever driver rows: the remaining never-windowed registry
-    # entries (v11/v12 above, x04, x06-x17, x19-x25) + this round's new
-    # x26 bucketed-layout join
-    "v11_partitioned_write",
-    "x04_window_topk",
-    "x06_rollup",
-    "x07_conditional_pivot",
-    "x08_json_extract",
-    "x09_events_tumbling",
-    "x10_sessionization",
-    "x11_correlated_subquery",
-    "x13_range_join",
-    "x14_quantiles",
-    "x15_approx_sketches",
-    "x16_retention_cohorts",
-    "x17_grouping_sets",
-    "x19_running_windows",
-    "x20_correlated_subqueries",
-    "x21_recursive_cte",
-    "x22_lateral_topn",
-    "x23_unpivot",
-    "x24_dist_windows",
-    "x25_pivot",
-    "x26_bucketed_fact_join",
-    # (d) NEW operators this round — int8 embedding quantization,
-    # cross-doc n-gram novelty, deterministic split assignment, SemDeDup
-    # semantic dedup, corpus-trained unigram-LM scoring, and the
-    # stream-stream LEFT OUTER join (first driver rows); plus
-    # t01_token_count, whose run-collapse rewrite of the BPE-ish count
-    # postdates its green r2 row (same re-verify rule as group (a))
-    "p24_embedding_quant",
-    "t11_ngram_novelty",
-    "p25_split_assign",
-    "p26_semantic_dedup",
-    "t12_unigram_lm_score",
-    "s09_stream_stream_outer_join",
-    "m07_patch_grid",
-    "x27_range_windows",
-    "t01_token_count",
-    # (e) backfill: bench-set members whose only rows are from r1 (q06,
-    # q25), plus a DDL-family representative (v03; the
-    # scan/outer-join/distinct/limit-offset/semi-anti/date-interval/
-    # scalar-subquery families are code-identical since their green r1
-    # rows, so v01/q07/q12/q13/x01/x02/q15/q21 yield their slots to the
-    # group-(a)/(d) rewrites and first-time rows above)
-    "q06_simple_agg",
     "q25_large_orders",
-    "v03_ddl_roundtrip",
+    "q28_nation_profit",
+    "x15_approx_sketches",
+    # (c) oldest-evidence refresh: entries whose only rows are r1 and
+    # whose families have the stalest driver proof (CSV frontend, VALUES
+    # scan, replacement scan, outer join, multi-key sort/limit)
+    "v01_values_scan",
+    "v04_csv_roundtrip",
+    "v08_replacement_scan",
+    "q07_join_left",
+    "q13_order_limit_offset",
 )
 
 
