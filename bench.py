@@ -82,11 +82,20 @@ def bench_conf(sf_dir: str | None, inp: int | None = None) -> dict[str, str]:
       local.dir points at dedicated NVMe, never the data volume; and it
       is the same storage class DuckDB's in-RAM intermediates enjoy on
       the comparison side.
-    - driver (=executor in local mode) heap sized to the input: 2 bytes
-      of heap per input byte, clamped to [16g, 48g] — broadcast builds +
-      32 concurrent task shares at the 21 GB replica GC-thrash a 16g
-      heap (GCLocker retry warnings, 2-3x run variance), while sf0.1
-      stays at the floor.
+    - driver (=executor in local mode) heap clamped to [16g, 24g].  The
+      ceiling is a PAGE-CACHE budget, measured the hard way in round 4:
+      a 42g heap request (2 bytes/input byte) made the kernel evict the
+      21 GB replica from page cache as the JVM lazily touched its heap,
+      and every few runs re-read the dataset from the virtio disk at
+      ~350 MB/s — 30-150s swings on identical plans (a bare `cat` of the
+      supposedly-cached lineitem spent 28s in the kernel).  Round 3's
+      stable artifacts in fact ran on the 16g default (the larger
+      request was silently ignored — the first-JVM conf bug), so the
+      "GC-thrash at 16g" rationale the old formula carried was never
+      actually observed under a correctly-applied heap.  On a box where
+      heap + dataset don't both fit, protect the dataset: the executor
+      spills shuffle to (RAM-backed) local dirs anyway, while a cache
+      miss on the base table costs the full disk re-read.
     """
     conf: dict[str, str] = {}
     shm = "/dev/shm"
@@ -104,7 +113,7 @@ def bench_conf(sf_dir: str | None, inp: int | None = None) -> dict[str, str]:
                 conf["spark.local.dir"] = os.path.join(shm, "sqlrs_shuffle")
         except OSError:
             pass
-    mem_gb = max(16, min(48, (2 * inp) >> 30))
+    mem_gb = max(16, min(24, (2 * inp) >> 30))
     conf["spark.driver.memory"] = os.environ.get(
         "SPARK_GRAFT_DRIVER_MEM", f"{mem_gb}g"
     )

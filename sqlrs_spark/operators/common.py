@@ -282,24 +282,32 @@ def measured_join_strategy(
     probe: Column,
     max_rows: int | None = None,
     shj_rows: int | None = None,
+    fact_partitioned: bool = False,
 ) -> tuple[DataFrame, Column | None]:
     """Measured reduction as a JOIN SIDE, with the matching fact-side
-    prefilter — ``(join_side, prefilter_or_None)``, three tiers:
+    prefilter — ``(join_side, prefilter_or_None)``.  Policy (every branch
+    measured at the 1000x replica, best-of-4 under a page-cache-stable
+    heap — see bench.bench_conf):
 
     - measured small (≤ ``spark.sqlrs.measuredBroadcast.shuffleHashRows``,
-      default 12M): BROADCAST, NO bloom — probing a cache-resident map is
-      ~1 dependent load per row, cheaper than a bloom's k=4 independent
-      ones, so a prefilter only adds cost here (measured on q03 at the
-      1000x replica: bloom+broadcast 22.2s vs plain broadcast 16.4s);
-    - mid scale (≤ the 30M broadcast ceiling): the PERSISTED reduction
-      with a shuffle-hash hint PLUS a bloom prefilter on the fact side.
-      Measured on q03 (14.5M-row reduction, 582M-row fact): the
-      driver-built ~1 GB broadcast map re-built and cache-miss-probed per
-      run lost to partition-local SHJ maps fed by a bloom-thinned shuffle
-      (582M -> 83M rows): 12.2s vs 16.4s best-of-4 — DuckDB's radix
-      strategy, expressed as Spark operators.  The 12M crossover is
-      empirical on this hardware: q05's ~8.7M-row reduction still wins as
-      a broadcast (11-12s vs 17.3s as SHJ), q03's 14.5M loses;
+      default 12M): BROADCAST, NO bloom.  Probing a broadcast map is ~1
+      dependent load per row, cheaper than a bloom's k=4 independent
+      ones, so a prefilter only adds cost (q05, 8.7M-row reduction:
+      15.5s plain broadcast vs 15.6s bloom+broadcast vs 17.3s SHJ);
+    - mid scale (≤ the 30M broadcast ceiling) AND ``fact_partitioned``
+      (the fact scan already reports hash partitioning on the join key —
+      a bucketed layout): the PERSISTED reduction with a shuffle-hash
+      hint plus a bloom prefilter.  The reduction shuffles into the
+      fact's existing partitioning (the fact side moves NOTHING) and each
+      task probes a partition-local map: q03 through the co-bucketed
+      facts 10.4s vs 16.0s as plain broadcast — DuckDB's radix strategy
+      with the partitioning paid at ingest;
+    - mid scale, fact NOT partitioned: still BROADCAST.  SHJ would
+      exchange the whole fact (582M rows); even bloom-thinned to 83M it
+      measured 18.5s vs 16.0s broadcast — on one box the exchange costs
+      more than the big map's cache misses.  (On a many-executor cluster
+      broadcasting 0.5-1 GB per executor tips the other way; the conf
+      knob exists for that deployment);
     - over the ceiling: the plain frame, no prefilter — at 100 TB both
       hints are wrong, the exchange is the honest cost, and Spark's own
       injected runtime filters own the shuffle-thinning job.
@@ -317,7 +325,7 @@ def measured_join_strategy(
     for entry in _MEASURED_MEMO:
         if entry[0] == h and reduction.sameSemantics(entry[1]):
             cached, n = entry[3], entry[4]
-            if cached is not None and n > shj:
+            if cached is not None and n > shj and fact_partitioned:
                 pre = bloom_prefilter(reduction, key, probe, max_items=limit)
                 return cached.hint("shuffle_hash"), pre
             break

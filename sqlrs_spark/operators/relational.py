@@ -363,23 +363,22 @@ def q03_plan(spark, sf_dir, orders_src=None, li_src=None):
         .filter(F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp"))
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
-    # the BUILDING+date-reduced order set, joined via the three-tier
-    # measured strategy (common.measured_join_strategy): broadcast at small
-    # SF, partition-local shuffle-hash at mid scale (the r3 "probe-bound
-    # broadcast map" fix — but ONLY together with the bloom prefilter
-    # below: un-prefiltered SHJ was measured at 60.3s because all 582M
-    # fact rows shuffled; with the bloom cutting the shuffle to 83M rows,
-    # SHJ beat the broadcast map 12.2s vs 16.4s at the 1000x replica).
     ordc_red = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "o_orderkey", "o_orderdate"
     )
     # tiered join strategy + fact prefilter (the round-3 verdict's q03
-    # fix, policy and measurements in common.measured_join_strategy): at
-    # the 1000x replica the 14.5M-row reduction rides a shuffle-hash join
-    # whose fact input a ~11 MB bloom thins 582M -> 83M rows; at small SF
-    # it broadcasts with no prefilter; over the 30M ceiling it degrades
-    # to the plain shuffle plan.
-    ordc, pre = measured_join_strategy(ordc_red, "o_orderkey", F.col("l_orderkey"))
+    # fix; policy and 1000x measurements in common.measured_join_strategy):
+    # through the co-bucketed layout the 14.5M-row reduction rides a
+    # shuffle-hash join into lineitem's existing partitioning with a
+    # ~11 MB bloom prefilter (10.4s vs 16.0s broadcast); on plain
+    # directories it broadcasts (the measured best there); over the 30M
+    # ceiling it degrades to the plain shuffle plan.
+    ordc, pre = measured_join_strategy(
+        ordc_red,
+        "o_orderkey",
+        F.col("l_orderkey"),
+        fact_partitioned=li_src is not None,
+    )
     if pre is not None:
         li = li.filter(pre)
     # rev_c (ONE BIGINT, common.cents) is computed AFTER the ordc probe:
@@ -508,12 +507,15 @@ def q05_plan(spark, sf_dir, orders_src=None, li_src=None):
     ).select("o_orderkey", "c_nationkey")
     # same tiered strategy as q03 — at the 1000x replica q05's reduction
     # measures ~8.7M rows, UNDER the 12M crossover, so it stays a
-    # broadcast with no prefilter (measured: 11-12s broadcast vs 17.3s
-    # as bloom+SHJ — the smaller map probes cheaply enough that a bloom
-    # pass only adds cost); a bigger deployment's reduction crosses the
-    # threshold and gets the SHJ+bloom shape automatically.
+    # broadcast with no prefilter (measured: 15.5s broadcast vs 15.6s
+    # bloom+broadcast vs 17.3s bloom+SHJ); a bigger deployment's
+    # reduction crosses the threshold and gets the SHJ+bloom shape when
+    # the fact layout is co-bucketed.
     ordc, li_pre = measured_join_strategy(
-        ordc_red, "o_orderkey", F.col("l_orderkey")
+        ordc_red,
+        "o_orderkey",
+        F.col("l_orderkey"),
+        fact_partitioned=li_src is not None,
     )
     if li_pre is not None:
         li = li.filter(li_pre)
