@@ -957,3 +957,47 @@ def x27_range_windows(spark, sf_dir):
     """
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_X27_SQL)
+
+
+# ---------------------------------------------------------------------------
+# x28 — QUALIFY clause (window filter without a manual subquery)
+# ---------------------------------------------------------------------------
+
+_X28_SQL = """
+SELECT l_returnflag, l_orderkey, l_linenumber,
+       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+       CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice DESC,
+                                        l_orderkey, l_linenumber) AS BIGINT) AS rn
+FROM lineitem
+QUALIFY rn <= 5
+ORDER BY l_returnflag, rn, l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "x28_qualify_topk",
+    # DuckDB runs the IDENTICAL statement through its NATIVE QUALIFY —
+    # the oracle is the dialect the frontend emulates
+    oracle=_X28_SQL,
+    tags=("extension", "frontend", "window"),
+)
+def x28_qualify_topk(spark, sf_dir):
+    """QUALIFY surface parity: the Session frontend rewrites the clause
+    into a window-filter subquery (session.Session._rewrite_qualify) and
+    the oracle executes the SAME text on DuckDB's native QUALIFY — the
+    strongest possible check for a frontend feature: one statement, two
+    engines, two code paths, one value hash.
+
+    The predicate references the select-list ALIAS (rn), exercising the
+    output-relation scoping rule.  Determinism: the window order has a
+    unique key among distinct rows — tied full-duplicate rows are
+    interchangeable under the multiset compare.  Plan: one window pass +
+    filter; Catalyst pushes nothing through the window (correct — the
+    predicate depends on it), so the shape is exactly the manual
+    subquery's.
+    """
+    from sqlrs_spark.session import Session
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return Session(spark).sql(_X28_SQL)

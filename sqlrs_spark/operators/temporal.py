@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from sqlrs_spark.operators.common import epoch_us, t
+from sqlrs_spark.operators.common import epoch_us, packed_minmax, t, unpack_id
 from sqlrs_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -196,4 +196,77 @@ def x14_quantiles(spark, sf_dir):
             F.count("*").alias("n"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p27 — CDC changelog apply (merge/upsert final-state materialization)
+# ---------------------------------------------------------------------------
+
+_P27_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+)
+SELECT user_id,
+       event_id AS last_event_id,
+       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS last_value_cents,
+       CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+       n_changes
+FROM ranked
+WHERE rn = 1 AND event_type <> 'view'
+ORDER BY user_id
+"""
+
+
+@register("p27_cdc_upsert", oracle=_P27_ORACLE, tags=("pipeline", "temporal", "cdc"))
+def p27_cdc_upsert(spark, sf_dir):
+    """CDC changelog apply: materialize the FINAL table state from an
+    ordered change stream — the batch half of a Delta/Hudi-style MERGE,
+    and the standard shape for keeping a training-corpus snapshot in sync
+    with an upstream operational store.  The events table is read as a
+    changelog keyed by user_id, ordered by (ts, event_id); the last
+    change wins, and a terminal 'view' event acts as the DELETE marker
+    (the key is absent from the final state).
+
+    Spark-first plan (beyond-reference; the reference has no update
+    concept — storage is append-only ColumnCatalog, SURVEY §4): the
+    winner per key is a packed-decimal argmax AGGREGATE
+    (common.packed_minmax — epoch-microseconds as the orderand, event_id
+    as tie-break), NOT a ROW_NUMBER window: it partial-aggregates
+    map-side, so 100 TB of changelog combines into one |keys|-row shuffle
+    instead of a full per-partition sort (the q34/p10 lesson).  The
+    winning rows' payloads are then retrieved with ONE equi-join on
+    event_id — two narrow shuffles total, both on high-cardinality keys.
+    The oracle states the same semantics as the textbook ROW_NUMBER()=1
+    formulation.
+    """
+    ev = t(spark, sf_dir, "events")
+    packed = packed_minmax(epoch_us("ts"), F.col("event_id"))
+    winners = (
+        ev.groupBy("user_id")
+        .agg(F.max(packed).alias("w"), F.count("*").alias("n_changes"))
+        .select(
+            "user_id",
+            unpack_id(F.col("w")).alias("event_id"),
+            "n_changes",
+        )
+    )
+    payload = ev.select("event_id", "event_type", "value", "ts")
+    return (
+        winners.join(payload, "event_id")
+        .filter(F.col("event_type") != "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("last_value_cents"),
+            epoch_us("ts").alias("last_ts_us"),
+            "n_changes",
+        )
+        .orderBy("user_id")
     )

@@ -833,3 +833,77 @@ def t12_unigram_lm_score(spark, sf_dir):
     truncate, identical on the non-negative operands here."""
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_t12(True))
+
+
+# ---------------------------------------------------------------------------
+# t13 — asymmetric n-gram containment (doc-in-doc / quote detection)
+# ---------------------------------------------------------------------------
+
+
+def _t13(spark_dialect: bool) -> str:
+    """Dual-dialect builder for token-3-gram CONTAINMENT pairs.
+
+    Containment(A->B) = |grams(A) ∩ grams(B)| / |grams(A)| is the
+    ASYMMETRIC near-dup measure p04's Jaccard cannot express: a short doc
+    quoted wholesale inside a long one scores ~1.0 on containment but
+    near 0 on Jaccard (the union is dominated by the long doc).  That is
+    the shape that matters for quote/boilerplate-inclusion detection in
+    a training corpus.  Scores are exact integers (1e3-scaled integer
+    division — truncating in both engines on the non-negative operands),
+    candidates are only pairs sharing >=1 gram within a lang block.
+    """
+    if spark_dialect:
+        grams = (
+            "SELECT doc_id, lang, explode(array_distinct(transform("
+            " sequence(0, size(tk) - 3),"
+            " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS g "
+            "FROM (SELECT doc_id, lang, split(text, ' ') AS tk FROM documents"
+            " WHERE text IS NOT NULL) WHERE size(tk) >= 3"
+        )
+        idiv = "div"
+    else:
+        grams = (
+            "SELECT DISTINCT doc_id, lang, "
+            " tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g "
+            "FROM (SELECT doc_id, lang, tk,"
+            "             unnest(generate_series(1, len(tk) - 2)) AS i"
+            "      FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk"
+            "            FROM documents WHERE text IS NOT NULL)"
+            "      WHERE len(tk) >= 3)"
+        )
+        idiv = "//"
+    return f"""
+WITH grams AS ({grams}),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i_n
+  FROM grams a JOIN grams b
+    ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a_id, i.b_id,
+       CAST(1000 * i.i_n {idiv} ca.n AS BIGINT) AS cont_ab_millis,
+       CAST(1000 * i.i_n {idiv} cb.n AS BIGINT) AS cont_ba_millis
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.a_id
+JOIN counts cb ON cb.doc_id = i.b_id
+WHERE 1000 * i.i_n {idiv} ca.n >= 600 OR 1000 * i.i_n {idiv} cb.n >= 600
+ORDER BY i.a_id, i.b_id
+"""
+
+
+@register("t13_ngram_containment", oracle=_t13(False), tags=("pipeline", "text", "dedup"))
+def t13_ngram_containment(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (see _t13).
+
+    Spark plan: one explode produces the distinct-gram relation, which
+    shuffles ONCE on the gram key; the self-join enumerates only pairs
+    sharing a gram (candidate generation, never n^2), and the two count
+    joins are on doc_id.  At 100 TB the gram relation is the big shuffle
+    — the scale hardening is the p16 pattern (hash grams to 60-bit longs
+    and cap degenerate gram buckets); kept as raw strings here because
+    the oracle must build the identical grams, and the candidate
+    structure is what this operator pins.
+    """
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_t13(True))

@@ -112,14 +112,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q25_large_orders",
     "q28_nation_profit",
     "x15_approx_sketches",
-    # (c) oldest-evidence refresh: entries whose only rows are r1 and
-    # whose families have the stalest driver proof (CSV frontend, VALUES
-    # scan, replacement scan, outer join, multi-key sort/limit)
-    "v01_values_scan",
+    # (c) NEW operators this round — first-ever driver rows: CDC
+    # changelog apply, asymmetric n-gram containment, native streaming
+    # session windows, the QUALIFY frontend rewrite — plus one
+    # oldest-evidence refresh (CSV frontend, r1-only row)
+    "p27_cdc_upsert",
+    "t13_ngram_containment",
+    "s10_stream_session_window",
+    "x28_qualify_topk",
     "v04_csv_roundtrip",
-    "v08_replacement_scan",
-    "q07_join_left",
-    "q13_order_limit_offset",
 )
 
 

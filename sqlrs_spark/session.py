@@ -603,10 +603,80 @@ class Session:
             self.sqlrs_columns().createOrReplaceTempView("__sqlrs_columns_view")
             q = _sub_outside_literals(_SQLRS_COLUMNS_RE, lambda m: "__sqlrs_columns_view", q)
 
+        q = self._rewrite_qualify(q)
+
         q = _sub_outside_literals(
             _OFFSET_LIMIT_RE, lambda m: f"limit {m.group('lim')} offset {m.group('off')}", q
         )
         return q
+
+    def _rewrite_qualify(self, q: str) -> str:
+        """QUALIFY clause (DuckDB/Snowflake/BigQuery surface; Spark has no
+        native support): filter on window-function results without a
+        manual subquery.
+
+        Rewrite: ``SELECT ... QUALIFY <pred> [ORDER BY/LIMIT tail]`` →
+
+            SELECT * EXCEPT (__sqlrs_qualify__) FROM (
+              SELECT *, (<pred>) AS __sqlrs_qualify__ FROM (<head>) b
+            ) p WHERE __sqlrs_qualify__ [tail]
+
+        The predicate evaluates over the SELECT's output relation, so both
+        QUALIFY idioms work: referencing a window-expression ALIAS from
+        the select list, and writing the window function inline in the
+        predicate.  Supported subset: one top-level QUALIFY (outside
+        string literals and parens — subqueries keep theirs untouched);
+        the predicate may not reference base-table columns absent from
+        the select list (project them or use SELECT *).  The trailing
+        ORDER BY / LIMIT / OFFSET moves to the outer query, preserving
+        evaluation order (QUALIFY before ORDER/LIMIT, per the dialects
+        that define it).
+        """
+        spans = _literal_spans(q)
+
+        def in_lit(i: int) -> bool:
+            return any(a <= i < b for a, b in spans)
+
+        low = q.lower()
+        depth = 0
+        qspan = None
+        tailpos = None
+        i = 0
+        while i < len(q):
+            if in_lit(i):
+                i += 1
+                continue
+            c = q[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and (c.isalpha() or c == "_"):
+                j = i
+                while j < len(q) and (q[j].isalnum() or q[j] == "_"):
+                    j += 1
+                w = low[i:j]
+                if w == "qualify" and qspan is None:
+                    qspan = (i, j)
+                elif qspan is not None and tailpos is None and w in (
+                    "order",
+                    "limit",
+                    "offset",
+                ):
+                    tailpos = i
+                i = j
+                continue
+            i += 1
+        if qspan is None:
+            return q
+        head = q[: qspan[0]].rstrip()
+        pred = (q[qspan[1] : tailpos] if tailpos else q[qspan[1] :]).strip()
+        tail = (" " + q[tailpos:].strip()) if tailpos else ""
+        return (
+            "SELECT * EXCEPT (__sqlrs_qualify__) FROM ("
+            f"SELECT *, ({pred}) AS __sqlrs_qualify__ FROM ({head}) __sqlrs_qbase"
+            f") __sqlrs_qpred WHERE __sqlrs_qualify__{tail}"
+        )
 
     def _rewrite_insert_cast(self, q: str) -> str | None:
         """INSERT INTO t VALUES … → INSERT …  SELECT cast(…) FROM VALUES …"""

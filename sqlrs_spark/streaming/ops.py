@@ -713,3 +713,90 @@ def s09_plan(spark, sf_dir, ev_stream=None):
         .drop("view_ts")
         .orderBy("view_id", "click_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# s10 — NATIVE streaming session windows (session_window aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s10_stream_session_window",
+    # batch twin: gap-based session assignment (the x10 pattern) with
+    # Spark's session_window end semantics — a session's end is its LAST
+    # event + the 30-minute gap — plus the same conservative eviction
+    # margin the stream applies (docstring)
+    oracle="""
+    WITH horizon AS (SELECT MAX(ts) AS max_ts FROM events),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS BIGINT) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL 30 MINUTE
+             <= (SELECT max_ts FROM horizon) - INTERVAL 2 HOUR
+    ORDER BY user_id, session_start_us
+    """,
+    tags=("pipeline", "streaming"),
+)
+def s10_stream_session_window(spark, sf_dir):
+    """Streaming sessionization through Spark's NATIVE session_window
+    aggregation — the built-in dynamic-gap operator (merging session
+    state managed by the engine), complementing s02, which builds the
+    same semantics by hand with applyInPandasWithState.  A session's
+    window is [first event, last event + gap); windows merge as late
+    events bridge gaps, and a session emits (append mode) only when the
+    watermark passes its end — engine-managed eviction, no custom state
+    code.
+
+    Determinism contract (the s09 pattern): sessions ending after the
+    final watermark horizon are still in state at query end, so both
+    sides keep only sessions with end <= max(ts) - 2h (1h watermark +
+    30min gap + 30min slack).  Single input stream, so the min
+    multiple-watermark policy cannot move the horizon (the s09 lesson
+    does not apply).
+
+    At scale: state is hash-partitioned by (user_id); per-key state is
+    the open session's bounds — O(open sessions), the same bound a
+    1000-executor cluster shards by user.
+    """
+    from sqlrs_spark.operators.common import t as load_static
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    result = _drain_memory_sink(agg, "s10", "append")
+    max_ts = (
+        load_static(spark, sf_dir, "events").agg(F.max("ts").alias("m")).collect()[0]["m"]
+    )
+    margin_us = F.unix_micros(
+        F.lit(max_ts).cast("timestamp_ltz") - F.expr("INTERVAL 2 HOURS")
+    )
+    return (
+        result.filter(F.col("session_end_us") <= margin_us)
+        .orderBy("user_id", "session_start_us")
+    )
