@@ -333,3 +333,41 @@ def test_adopted_facts_probe_misses_cleanly(spark, tmp_path):
     from sqlrs_spark.sources.bucketing import adopted_bucketed_facts
 
     assert adopted_bucketed_facts(spark, str(tmp_path)) is None
+
+
+def test_measured_join_strategy_tiers(spark, sf_dir):
+    """The tiered join-side policy (common.measured_join_strategy): at
+    test SFs the reduction measures far below the SHJ crossover, so the
+    strategy must return a broadcast-hinted frame and NO prefilter on
+    both layouts; forcing the crossover to zero with a partitioned fact
+    must flip it to the shuffle-hash + bloom shape."""
+    from pyspark.sql import functions as F
+
+    from sqlrs_spark.operators.common import measured_join_strategy
+
+    reduction = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000.0)
+        .select("o_orderkey")
+    )
+    side, pre = measured_join_strategy(reduction, "o_orderkey", F.col("l_orderkey"))
+    assert pre is None
+    plan = side._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in plan.lower()
+    # crossover forced to zero + co-partitioned fact -> SHJ tier w/ bloom
+    side2, pre2 = measured_join_strategy(
+        reduction,
+        "o_orderkey",
+        F.col("l_orderkey"),
+        shj_rows=1,
+        fact_partitioned=True,
+    )
+    assert pre2 is not None  # the might_contain prefilter
+    plan2 = side2._jdf.queryExecution().optimizedPlan().toString()
+    assert "shuffle_hash" in plan2.lower() or "SHUFFLE_HASH" in plan2
+    # unpartitioned fact at the same size keeps the broadcast tier
+    side3, pre3 = measured_join_strategy(
+        reduction, "o_orderkey", F.col("l_orderkey"), shj_rows=1
+    )
+    assert pre3 is None
+    assert "broadcast" in side3._jdf.queryExecution().optimizedPlan().toString().lower()

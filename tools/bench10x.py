@@ -185,6 +185,7 @@ def bench_bucketed(spark, dst: str) -> dict[str, float]:
     timings: dict[str, float] = {"bucketed_etl_once": round(etl, 4)}
     for name, fn in runs.items():
         gc.collect()
+        spark.sparkContext._jvm.System.gc()  # drive ContextCleaner (bench.py note)
         fn().toArrow()  # warm
         best = float("inf")
         for _ in range(2):

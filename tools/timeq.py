@@ -42,6 +42,7 @@ def main() -> None:
     for name in args.queries:
         s = specs[name]
         gc.collect()
+        spark.sparkContext._jvm.System.gc()  # drive ContextCleaner (bench.py note)
         s.fn(spark, args.sf_dir).toArrow()  # warm
         times = []
         for _ in range(args.runs):
