@@ -64,8 +64,9 @@ def decode_image(payload: bytes) -> tuple[int, int, bytearray]:
 
     Supports non-interlaced 8-bit PNGs of any color type (gray / RGB /
     palette-index / gray+alpha / RGBA — palette pixels come back as
-    indices).  Anything else (JPEG, interlaced or 16-bit PNG, …) raises
-    NotImplementedError: those need native codecs not in this container.
+    indices).  Non-PNG payloads (JPEG/WebP/…) decode through Pillow when
+    the runtime has it; without Pillow, and for PNG variants the stdlib
+    path doesn't cover (interlaced, 16-bit), NotImplementedError.
     """
     if payload[:8] != _PNG_SIG:
         # non-PNG: real decode through Pillow when the environment has it
@@ -199,8 +200,15 @@ def decode_audio(payload: bytes) -> dict:
             [ff, "-v", "error", "-i", "pipe:0", "-f", "wav", "pipe:1"],
             input=payload,
             capture_output=True,
-            check=True,
         )
+        if proc.returncode != 0:
+            # corrupt/unsupported payloads must surface under the same
+            # error contract as the stdlib path (ValueError / wave.Error),
+            # not as a CalledProcessError leaking the subprocess detail
+            raise ValueError(
+                "ffmpeg could not decode audio payload: "
+                + proc.stderr.decode("utf-8", "replace").strip()
+            )
         payload = proc.stdout
     with wave.open(io.BytesIO(payload)) as wf:
         n_frames = wf.getnframes()

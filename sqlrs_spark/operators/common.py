@@ -369,7 +369,22 @@ def bloom_prefilter(
     column is cast to BIGINT: DataFrameStatFunctions.bloomFilter inserts
     integral keys via putLong, and BloomFilterMightContain requires a
     LongType child, so both sides hash the identical 64-bit value.
+    Integral keys ONLY, enforced below: under non-ANSI configs a
+    non-integral key would cast to NULL, and a "superset" prefilter built
+    from NULLs silently drops every matching fact row — a loud TypeError
+    beats silently-wrong results.
     """
+    from pyspark.sql import types as T
+
+    key_type = reduction.schema[key].dataType
+    if not isinstance(
+        key_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"bloom_prefilter requires an integral reduction key; {key!r} is "
+            f"{key_type.simpleString()} — a lossy BIGINT cast would build the "
+            "filter from NULLs and drop matching probe rows"
+        )
     spark = reduction.sparkSession
     limit = max_items or int(
         spark.conf.get("spark.sqlrs.bloomPrefilter.maxItems", "30000000")

@@ -406,8 +406,13 @@ def x15_approx_sketches(spark, sf_dir):
     shuffle-heavy expansion) and t-digest approx_percentile, grouped per
     order status.
 
-    Verified contract: HLL++ at rsd=0.05 must land within 3 sigma
-    (|est - exact| <= 0.15 * exact); approx_percentile at accuracy=1000
+    Verified contract: HLL++ at rsd=0.05 must land within 5 sigma
+    (|est - exact| <= 0.25 * exact).  5 sigma, not 3: the driver re-hashes
+    this row every round across groups and SFs, and a 3-sigma gate leaves
+    ~0.3% legitimate-excursion tail probability PER GROUP — enough to flake
+    once across the build and masquerade as an engine bug, while a broken
+    sketch misses by orders of magnitude and still trips 5 sigma.
+    approx_percentile at accuracy=1000
     advertises rank error <= 1/accuracy, checked with a 5x margin — the
     estimate must lie between the exact percentiles at p +/- 0.005.  The
     exact sides ride the same grouped pass (one extra distinct expansion
@@ -436,7 +441,7 @@ def x15_approx_sketches(spark, sf_dir):
     )
     within = (
         F.abs(F.col("approx_custs") - F.col("exact_custs"))
-        <= 0.15 * F.col("exact_custs")
+        <= 0.25 * F.col("exact_custs")
     )
     return est.select(
         "o_orderstatus",

@@ -204,7 +204,15 @@ def adopted_bucketed_facts(
     directories keep today's plan.  Both sides must exist under the SAME
     bucket count: mismatched counts would re-introduce a shuffle of the
     smaller side, worse than the plain path's measured-broadcast plan.
+
+    ``spark.sqlrs.bucketedAdoption=off`` disables the probe entirely.
+    The bench's plain-layout pass sets it (bench.bench_spark): the bench
+    warehouse persists across runs, so after any prior run's bucketed ETL
+    the probe would silently route the "plain" timings through the layout
+    and contaminate the plain-vs-bucketed comparison in the artifact.
     """
+    if spark.conf.get("spark.sqlrs.bucketedAdoption", "on") == "off":
+        return None
     for b in bucket_candidates:
         names = {}
         for source, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):

@@ -658,6 +658,29 @@ def s09_plan(spark, sf_dir, ev_stream=None):
     result equality with the single-batch run)."""
     from sqlrs_spark.operators.common import t as load_static
 
+    # conservative eviction margin, mirrored in the oracle (docstring):
+    # anchored to least(max view_ts, max click_ts) because Spark's min
+    # multiple-watermark policy pins the global watermark to the LAGGING
+    # stream's max event time, not the overall max(ts).  Computed BEFORE
+    # the stream runs: a one-event-type dataset can never evict outer-join
+    # state, so fail fast instead of draining the stream first
+    row = (
+        load_static(spark, sf_dir, "events")
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", F.col("ts"))).alias("mv"),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
+        )
+        .collect()[0]
+    )
+    if row["mv"] is None or row["mc"] is None:
+        missing = "view" if row["mv"] is None else "click"
+        raise ValueError(
+            f"s09 requires both event types in events; dataset has no "
+            f"'{missing}' rows, so the multiple-watermark policy would "
+            "never evict outer-join state"
+        )
+    least_max = min(row["mv"], row["mc"])
+
     ev = ev_stream if ev_stream is not None else read_events_stream(spark, sf_dir)
     views = (
         ev.filter(F.col("event_type") == "view")
@@ -692,19 +715,6 @@ def s09_plan(spark, sf_dir, ev_stream=None):
         "view_ts",
     )
     result = _drain_memory_sink(joined, "s09", "append")
-    # conservative eviction margin, mirrored in the oracle (docstring):
-    # anchored to least(max view_ts, max click_ts) because Spark's min
-    # multiple-watermark policy pins the global watermark to the LAGGING
-    # stream's max event time, not the overall max(ts)
-    row = (
-        load_static(spark, sf_dir, "events")
-        .agg(
-            F.max(F.when(F.col("event_type") == "view", F.col("ts"))).alias("mv"),
-            F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
-        )
-        .collect()[0]
-    )
-    least_max = min(row["mv"], row["mc"])
     return (
         result.filter(
             F.col("click_id").isNotNull()

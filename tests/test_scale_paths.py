@@ -315,6 +315,13 @@ def test_adopted_facts_route_query_plans(spark, sf_dir):
             for r in q28_plan(spark, sf_dir, spark.table(o_t), spark.table(l_t)).collect()
         ]
         assert bucketed_q28 == plain_q28
+        # the bench's plain pass must be able to opt out: with adoption
+        # disabled the probe misses even though the layout exists
+        spark.conf.set("spark.sqlrs.bucketedAdoption", "off")
+        try:
+            assert adopted_bucketed_facts(spark, sf_dir) is None
+        finally:
+            spark.conf.unset("spark.sqlrs.bucketedAdoption")
     finally:
         import os
         import shutil
@@ -340,20 +347,32 @@ def test_measured_join_strategy_tiers(spark, sf_dir):
     test SFs the reduction measures far below the SHJ crossover, so the
     strategy must return a broadcast-hinted frame and NO prefilter on
     both layouts; forcing the crossover to zero with a partitioned fact
-    must flip it to the shuffle-hash + bloom shape."""
+    must flip it to the shuffle-hash + bloom shape.
+
+    A join-strategy hint only survives Catalyst when the hinted frame is
+    under a join (HintErrorLogger drops it otherwise), so every tier is
+    asserted on the PHYSICAL PLAN OF A JOIN against the lineitem fact —
+    the plan callers actually run — never on the standalone frame.
+    """
     from pyspark.sql import functions as F
 
     from sqlrs_spark.operators.common import measured_join_strategy
 
+    fact = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     reduction = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 100000.0)
         .select("o_orderkey")
     )
+
+    def joined_plan(side, pre):
+        probe = fact if pre is None else fact.filter(pre)
+        j = probe.join(side, probe["l_orderkey"] == side["o_orderkey"])
+        return j._jdf.queryExecution().executedPlan().toString()
+
     side, pre = measured_join_strategy(reduction, "o_orderkey", F.col("l_orderkey"))
     assert pre is None
-    plan = side._jdf.queryExecution().optimizedPlan().toString()
-    assert "broadcast" in plan.lower()
+    assert "BroadcastHashJoin" in joined_plan(side, pre)
     # crossover forced to zero + co-partitioned fact -> SHJ tier w/ bloom
     side2, pre2 = measured_join_strategy(
         reduction,
@@ -363,11 +382,27 @@ def test_measured_join_strategy_tiers(spark, sf_dir):
         fact_partitioned=True,
     )
     assert pre2 is not None  # the might_contain prefilter
-    plan2 = side2._jdf.queryExecution().optimizedPlan().toString()
-    assert "shuffle_hash" in plan2.lower() or "SHUFFLE_HASH" in plan2
+    plan2 = joined_plan(side2, pre2)
+    assert "ShuffledHashJoin" in plan2
+    assert "might_contain" in plan2
     # unpartitioned fact at the same size keeps the broadcast tier
     side3, pre3 = measured_join_strategy(
         reduction, "o_orderkey", F.col("l_orderkey"), shj_rows=1
     )
     assert pre3 is None
-    assert "broadcast" in side3._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "BroadcastHashJoin" in joined_plan(side3, pre3)
+
+
+def test_bloom_prefilter_rejects_non_integral_key(spark, sf_dir):
+    """The BIGINT cast inside bloom_prefilter is lossy for non-integral
+    keys (non-ANSI: string -> NULL), which would build the filter from
+    NULLs and silently drop every matching probe row — the guard must
+    raise instead (ADVICE r4)."""
+    from pyspark.sql import functions as F
+
+    from sqlrs_spark.operators.common import bloom_prefilter, measured_broadcast
+
+    red = load_table(spark, sf_dir, "customer").select("c_mktsegment")
+    measured_broadcast(red)  # populate the measured memo the builder needs
+    with pytest.raises(TypeError, match="integral"):
+        bloom_prefilter(red, "c_mktsegment", F.col("l_comment"))

@@ -80,3 +80,17 @@ def test_s09_multibatch_equals_singlebatch(spark, chunked_events_dir):
     outer = [r for r in multi if r["click_id"] is None]
     inner = [r for r in multi if r["click_id"] is not None]
     assert outer and inner
+
+
+def test_s09_rejects_one_event_type_dataset(spark, tmp_path):
+    """A dataset with no 'click' rows never advances the lagging stream's
+    watermark (min multiple-watermark policy), so no outer-join state is
+    ever evictable — s09 must fail fast with a clear error before running
+    the stream, not crash on min(None, ts) after it (ADVICE r4)."""
+    views_only = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("event_type") == "view"
+    )
+    d = str(tmp_path / "views_only_sf")
+    views_only.coalesce(1).write.parquet(f"{d}/events.parquet")
+    with pytest.raises(ValueError, match="no 'click' rows"):
+        s09_plan(spark, d)

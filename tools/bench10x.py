@@ -290,6 +290,11 @@ def main() -> None:
         "ratio_queries": {
             n: round(spark_t[n] / max(duck_t[n], 1e-9), 2) for n in common
         },
+        # bench_spark disables bucketed-layout adoption, so "queries" is
+        # guaranteed plain-directory even when the persistent warehouse
+        # holds a prior run's layout; the "bucketed" section is the
+        # layout-routed comparison
+        "layout": "plain",
         "sf": f"~{args.factor / 10:g} ({args.factor}x key-shifted token-salted sf0.1,"
         " multi-file layout)",
     }
