@@ -59,68 +59,71 @@ def register(
 # t01-t08/t10, m01/m02/m04/m06, s01-s07 keep their green r2 rows + the
 # local parity suite).  Rotated in, by reason:
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-4 curation. The recency rule (test_registry_window) demands a
-    # driver row at least every two rounds, so the bulk of this window is
-    # (a) every pipeline p/t/m/s entry whose latest row is r2 — they must
-    # re-verify now or fall out of hard verification next round:
-    "p01_dedup_exact",
-    "p02_dedup_minhash",
-    "p03_dedup_simhash",
-    "p04_dedup_ngram",
-    "p05_dedup_embedding",
-    "p06_ann_bruteforce",
-    "p07_ann_lsh",
-    "p08_ann_ivf",
-    "p09_dedup_clusters",
-    "p11_corpus_pipeline",
-    "p12_stratified_sample",
-    "p13_token_budget_pack",
-    "p14_domain_mix",
-    "p15_ann_multiprobe",
-    "p16_dedup_minhash_capped",
-    "p17_decontaminate",
-    "p19_rag_prep",
-    "p20_tfidf_terms",
-    "p21_fuzzy_vocab",
-    "p22_temperature_mix",
-    "p23_pps_sample",
-    "t02_language_id",
-    "t03_quality_score",
-    "t04_fingerprint",
-    "t05_chunking",
-    "t06_repetition",
-    "t07_pattern_scrub",
-    "t08_quality_rules",
-    "t10_boilerplate",
-    "m01_multimodal_meta",
-    "m02_frame_sample",
-    "m04_resize",
-    "m06_audio_windows",
-    "s01_stream_tumbling",
-    "s02_stream_stateful_sessions",
-    "s03_stream_sliding",
-    "s04_stream_dedup",
-    "s05_stream_static_join",
-    "s06_stream_funnel",
-    "s07_stream_stream_join",
-    # (b) rewritten THIS round after their r3 rows — the hash gate must
-    # see the current plans: q03/q05 (tiered measured-join strategy +
-    # bloom prefilter), q25/q28 (bucketed-layout promotion routing), x15
-    # (error-bound contract rework: new schema, first-ever value hash)
-    "q03_shipping_priority",
-    "q05_local_volume",
-    "q25_large_orders",
-    "q28_nation_profit",
+    # Round-5 curation. The recency lints pin most of this window:
+    # (a) every pipeline p/t/m/s and bench-flagged entry whose latest row
+    # is r3 — after the r5 artifact lands, the last-two-rounds check sees
+    # r4∪r5, so an r3-only row would drop out of hard verification:
+    "q01_pricing_summary",
+    "q06_simple_agg",
+    "q22_volume_shipping",
+    "q34_min_cost_supplier",
+    "x12_asof_join",
+    "x18_funnel",
+    "t01_token_count",
+    "t09_unicode_clean",
+    "t11_ngram_novelty",
+    "t12_unigram_lm_score",
+    "p10_dedup_canonical",
+    "p18_ann_ivf_kmeans",
+    "p24_embedding_quant",
+    "p25_split_assign",
+    "p26_semantic_dedup",
+    "m03_fake_embed",
+    "m05_image_neardup",
+    "m07_patch_grid",
+    # (b) rewritten since their latest rows (the new rewritten=>re-verify
+    # lint enforces this mechanically — VERDICT r4 #3): s09's eviction
+    # margin + drain changed in r4 AFTER its r3 row (s08 rides along per
+    # the verdict, though its foreachBatch path never touches the shared
+    # drain); x15's HLL gate widened this round; the ten q-entries' helper
+    # closures changed across r2-r4 while their rows stayed r1
+    "s08_stream_foreachbatch_sink",
+    "s09_stream_stream_outer_join",
     "x15_approx_sketches",
-    # (c) NEW operators this round — first-ever driver rows: CDC
-    # changelog apply, asymmetric n-gram containment, native streaming
-    # session windows, the QUALIFY frontend rewrite — plus one
-    # oldest-evidence refresh (CSV frontend, r1-only row)
-    "p27_cdc_upsert",
-    "t13_ngram_containment",
-    "s10_stream_session_window",
-    "x28_qualify_topk",
-    "v04_csv_roundtrip",
+    "q17_join_residual",
+    "q19_disjunctive_pred",
+    "q21_top_supplier",
+    "q23_market_share",
+    "q24_promo_effect",
+    "q31_top_supplier",
+    "q32_small_qty_revenue",
+    "q33_supplier_cnt",
+    "q36_waiting_suppliers",
+    "q38_excess_suppliers",
+    # (c) oldest-evidence rotation (VERDICT r4 #4): the r1/r2 tail, oldest
+    # first — frontend v-family, the early x-extensions, and the join
+    # family.  The full 40-entry r1/r2 tail does not fit alongside (a)+(b)
+    # in 50 slots; the remainder (q14-q16, q18, q20, q26-q30, q35, q37,
+    # q10-q13 if displaced by new ops) is the documented r6 rotation debt.
+    "v01_values_scan",
+    "v02_dummy_scan",
+    "v05_catalog_tables",
+    "v06_ctas",
+    "v07_catalog_columns",
+    "v08_replacement_scan",
+    "x01_semi_join",
+    "x02_anti_join",
+    "x03_set_ops",
+    "x05_expressions",
+    "q02_filter_project",
+    "q04_priority_count",
+    "q07_join_left",
+    "q08_join_right",
+    "q09_join_full",
+    "q10_cross_join",
+    "q11_scalar_subquery",
+    "q12_distinct",
+    "q13_order_limit_offset",
 )
 
 

@@ -100,3 +100,104 @@ def test_window_entries_have_oracles_where_possible():
     specs = all_specs()
     no_oracle = {n for n in DRIVER_WINDOW if specs[n].oracle is None}
     assert no_oracle <= {"x15_approx_sketches"}, no_oracle
+
+
+# --- rewritten => re-verify lint (VERDICT r4 #3) -------------------------
+#
+# Round 4 rewrote s08/s09 after their round-3 driver rows and the curation
+# missed them: window membership alone can't catch "the code changed since
+# the evidence".  This lint compares each registry function's SOURCE (its
+# def plus any same-module helper it references, decorator included — the
+# oracle SQL lives in the decorator call) between the working tree and the
+# commit whose driver artifact holds the query's latest row.  A query whose
+# source changed since its latest CORRECTNESS row must be in DRIVER_WINDOW.
+
+#: commit whose tree the round-N driver artifact verified (the
+#: "round N: verdict/advice/correctness/bench" commits add artifacts only)
+_ROUND_COMMITS = {
+    1: "d8710bd770cf82c036f7e2e1bff381fb2b8f10ef",
+    2: "e5e58fc5dad23e1699a724be163d8fe6744071b1",
+    3: "0b6649184a03227b4e3f503eae84a35d3685d439",
+    4: "378c9db2c476752a094c47846fe5044483840e19",
+}
+
+
+def _latest_round_per_query() -> dict[str, int]:
+    latest: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(p.rsplit("_r", 1)[1].split(".")[0])
+        with open(p) as f:
+            for k in json.load(f):
+                latest[k] = max(latest.get(k, 0), rnd)
+    return latest
+
+
+def _fn_closure_src(file_text: str, fn_name: str) -> str | None:
+    """Source of ``fn_name``'s module-level def (decorators included) plus
+    every same-module function reachable from it by simple-name reference
+    (transitive — covers the *_plan helper pattern AND shared sinks like
+    streaming's _drain_memory_sink, which round 4's curation missed)."""
+    import ast
+
+    tree = ast.parse(file_text)
+    defs = {
+        n.name: n
+        for n in tree.body
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+    }
+    if fn_name not in defs:
+        return None
+
+    def seg(node) -> str:
+        start = min(
+            [d.lineno for d in node.decorator_list] + [node.lineno]
+        )
+        lines = file_text.splitlines()
+        return "\n".join(lines[start - 1 : node.end_lineno])
+
+    picked: dict[str, str] = {}
+    todo = [fn_name]
+    while todo:
+        name = todo.pop()
+        if name in picked:
+            continue
+        picked[name] = seg(defs[name])
+        for sub in ast.walk(defs[name]):
+            if isinstance(sub, ast.Name) and sub.id in defs and sub.id not in picked:
+                todo.append(sub.id)
+    return "\n---\n".join(picked[k] for k in sorted(picked))
+
+
+def test_rewritten_queries_are_rotated_into_window():
+    import subprocess
+
+    specs = all_specs()
+    latest = _latest_round_per_query()
+    file_cache: dict[str, str | None] = {}
+    stale: dict[str, str] = {}
+    for name, spec in specs.items():
+        if name in DRIVER_WINDOW:
+            continue
+        rnd = latest.get(name)
+        if not rnd or rnd not in _ROUND_COMMITS:
+            continue  # never verified -> other lints own that case
+        mod = spec.fn.__module__
+        rel = mod.replace(".", "/") + ".py"
+        key = f"{_ROUND_COMMITS[rnd]}:{rel}"
+        if key not in file_cache:
+            r = subprocess.run(
+                ["git", "show", key], capture_output=True, text=True, cwd=REPO
+            )
+            file_cache[key] = r.stdout if r.returncode == 0 else None
+        old_text = file_cache[key]
+        with open(os.path.join(REPO, rel)) as f:
+            new_text = f.read()
+        fn_name = spec.fn.__name__
+        old_src = _fn_closure_src(old_text, fn_name) if old_text else None
+        new_src = _fn_closure_src(new_text, fn_name)
+        if old_src != new_src:
+            stale[name] = f"source changed since its r{rnd} row ({rel})"
+    assert not stale, (
+        "queries rewritten after their latest driver row must rotate into "
+        f"DRIVER_WINDOW for re-verification: {stale}"
+    )
