@@ -90,3 +90,121 @@ def test_aggregation_survives_kill_and_restart(spark, multi_file_events):
     # files at 1 file/trigger, phase 2 sees only the remainder
     if was_active and batches_before >= 2:
         assert len(q2.recentProgress) < 8
+
+
+# --- s10: native session_window state recovery (round-4 verdict #8) -----
+
+
+@pytest.fixture(scope="module")
+def chunked_events(spark, sf_dir):
+    """events split into 5 TIME-CONTIGUOUS chunks with increasing mtimes
+    (FileStreamSource picks oldest first) — session_window runs in append
+    mode under a watermark, so chunks must arrive in event-time order or
+    later chunks would be dropped as late data."""
+    src = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp_ltz")  # watermarks reject NTZ
+    )
+    rows = src.orderBy("ts", "event_id").collect()
+    d = tempfile.mkdtemp(prefix="sqlrs_s10_src_")
+    n_chunks, step = 5, (len(rows) + 4) // 5
+    import os
+
+    for i in range(n_chunks):
+        chunk = rows[i * step : (i + 1) * step]
+        spark.createDataFrame(chunk, src.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/chunk={i:02d}")
+        for root, _, files in os.walk(f"{d}/chunk={i:02d}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_700_000_000 + i,) * 2)
+    return d
+
+
+def _start_sessions(spark, src_dir, ckpt, out_dir):
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def test_session_window_state_survives_kill_and_restart(spark, chunked_events):
+    """s10's engine-managed merging session state, killed mid-stream and
+    restarted from the same checkpoint into a parquet sink (exactly-once
+    across restarts via _spark_metadata).  If HDFSBackedStateStore dropped
+    or double-counted any open session across the restart, the recovered
+    session set diverges from the batch twin — session_window in a batch
+    groupBy over the same rows."""
+    ckpt = tempfile.mkdtemp(prefix="sqlrs_s10_ckpt_")
+    out = tempfile.mkdtemp(prefix="sqlrs_s10_out_") + "/sessions"
+
+    q1 = _start_sessions(spark, chunked_events, ckpt, out)
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        if len(q1.recentProgress) >= 2 or not q1.isActive:
+            break
+        time.sleep(0.2)
+    was_active = q1.isActive
+    q1.stop()
+    q1.awaitTermination()
+    batches_before = len(q1.recentProgress)
+
+    q2 = _start_sessions(spark, chunked_events, ckpt, out)
+    q2.awaitTermination()
+
+    ev = spark.read.parquet(chunked_events)
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    margin = F.unix_micros(
+        F.lit(max_ts).cast("timestamp_ltz") - F.expr("INTERVAL 2 HOURS")
+    )
+    # conservative margin on BOTH sides (s10's registry contract): the
+    # stream only emits sessions the final watermark closed, so compare
+    # the confidently-closed subset
+    recovered = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .filter(F.col("session_end_us") <= margin)
+        .collect()
+    )
+    twin = sorted(
+        tuple(r)
+        for r in ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+        .filter(F.col("session_end_us") <= margin)
+        .collect()
+    )
+    assert recovered == twin, (
+        f"session state diverged after kill@batch{batches_before}"
+        f" (was_active={was_active}): {len(recovered)} vs {len(twin)} sessions"
+    )
+    assert len(recovered) > 0
+    # the restart must RESUME from checkpointed offsets, not reprocess:
+    # 5 chunks at 1 file/trigger, phase 2 sees only the remainder
+    if was_active and batches_before >= 2:
+        assert len(q2.recentProgress) < 5
