@@ -481,3 +481,67 @@ def x26_bucketed_fact_join(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "v13_schema_evolution",
+    # the oracle states the merge semantics over the ORIGINAL rows: the
+    # generation written before the column existed contributes NULLs
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN source <> 'src0' THEN 1 END) AS n_with_quality,
+           CAST(COALESCE(SUM(CASE WHEN source <> 'src0'
+                                  THEN n_chars % 97 END), 0) AS BIGINT)
+             AS sum_quality,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("extension", "source", "schema"),
+)
+def v13_schema_evolution(spark, sf_dir):
+    """Schema-evolution parquet read: two generations of the same dataset
+    directory — generation 1 written BEFORE a ``quality`` column existed,
+    generation 2 with it — read back as one table via ``mergeSchema``,
+    old rows null-filled.  This is the ingest reality of any long-lived
+    100 TB corpus store: columns get added mid-corpus and a reader must
+    union by name across file vintages, not by position.
+
+    Beyond-reference (the reference's storage has a fixed per-table
+    schema, src/storage/mod.rs).  Scale notes: mergeSchema reconciles
+    footers only (one driver-side metadata pass, no data read); steady
+    state pins the merged schema explicitly so scans skip footer
+    reconciliation entirely — which is why the read below also asserts
+    the merged schema rather than trusting it.
+    """
+    register_views(spark, sf_dir, ("documents",))
+    root = tempfile.mkdtemp(prefix="sqlrs_evo_")
+    out = os.path.join(root, "documents_evolving")
+    docs = spark.table("documents")
+    gen1 = docs.filter(F.col("source") == "src0").select("doc_id", "lang", "n_chars")
+    gen2 = (
+        docs.filter(F.col("source") != "src0")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.col("n_chars") % 97).cast("int").alias("quality"),
+        )
+    )
+    gen1.write.parquet(os.path.join(out, "gen=1"))
+    gen2.write.parquet(os.path.join(out, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    assert "quality" in back.columns, "mergeSchema dropped the evolved column"
+    return materialize_then_rm(
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("quality").alias("n_with_quality"),
+            F.coalesce(F.sum("quality"), F.lit(0)).cast("bigint").alias("sum_quality"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang"),
+        root,
+    )

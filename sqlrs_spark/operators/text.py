@@ -907,3 +907,160 @@ def t13_ngram_containment(spark, sf_dir):
     """
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_t13(True))
+
+
+# ---------------------------------------------------------------------------
+# t14 — vocabulary growth curve (Heaps'-law statistics per corpus prefix)
+# ---------------------------------------------------------------------------
+
+#: docs per growth checkpoint — small enough that test SFs produce a real
+#: curve (sf0.01: ~400 docs -> 7 points), large enough that the window
+#: stage stays tiny at any corpus size (60k docs -> ~1k rows)
+_T14_BUCKET = 64
+
+
+def _t14(spark_dialect: bool) -> str:
+    """Vocabulary growth: cumulative distinct-token count (and total token
+    count) at successive corpus prefixes in doc_id order — the Heaps'-law
+    curve a corpus-curation pipeline tracks to detect vocabulary
+    saturation (diminishing new-token yield means more of the same data).
+
+    Both statistics reduce to two hash aggregates over the exploded token
+    relation: per-bucket token totals, and each token's FIRST bucket
+    (MIN) — a token contributes to cumulative vocabulary exactly once, at
+    its first appearance.  The cumulative sums then run over the tiny
+    per-bucket frame.  No per-prefix rescan, no distinct-per-prefix
+    blowup: the token relation shuffles once on the token key.
+    """
+    if spark_dialect:
+        tok_rel = (
+            f"SELECT doc_id DIV {_T14_BUCKET} AS bucket,"
+            " explode(split(text, ' ')) AS tok FROM documents"
+        )
+    else:
+        tok_rel = (
+            f"SELECT doc_id // {_T14_BUCKET} AS bucket,"
+            " unnest(string_split(text, ' ')) AS tok FROM documents"
+        )
+    return f"""
+WITH tok AS ({tok_rel}),
+per_bucket AS (
+  SELECT bucket, COUNT(*) AS n_tokens FROM tok GROUP BY bucket
+),
+firsts AS (
+  SELECT tok, MIN(bucket) AS first_bucket FROM tok GROUP BY tok
+),
+new_per_bucket AS (
+  SELECT first_bucket AS bucket, COUNT(*) AS n_new
+  FROM firsts GROUP BY first_bucket
+)
+SELECT p.bucket,
+       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_tokens,
+       CAST(SUM(p.n_tokens) OVER (ORDER BY p.bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY p.bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM per_bucket p LEFT JOIN new_per_bucket n ON p.bucket = n.bucket
+ORDER BY p.bucket
+"""
+
+
+@register("t14_vocab_growth", oracle=_t14(False), tags=("pipeline", "text"))
+def t14_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve (see _t14).
+
+    Scale shape: explode -> two partial-aggregating hash aggs (bucket
+    totals; per-token MIN bucket).  The token agg is the only large
+    shuffle and it keys on the token itself — high cardinality, no skew
+    beyond natural Zipf heads, which partial aggregation absorbs
+    map-side.  The cumulative window runs over |buckets| rows (~corpus /
+    64 docs), driver-trivial at any SF.  The single-partition window is
+    deliberate: its input is already tiny.
+    """
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_t14(True))
+
+
+# ---------------------------------------------------------------------------
+# p28 — quality-filter cascade with first-rejection attribution
+# ---------------------------------------------------------------------------
+
+
+def _p28(spark_dialect: bool) -> str:
+    """Filter-cascade funnel: every document is attributed to the FIRST
+    stage that rejects it (or 'pass'), with per-stage document/token/char
+    totals — the corpus-curation report that says where the data dies.
+    Complements t08 (per-document independent rule flags): this is the
+    ORDERED cascade view, the thing a pipeline owner reads to decide which
+    filter to tune.
+
+    Stages (training-data-pipeline standard): hard length floor, language
+    allowlist, repetition (type-token ratio), stopword floor.  All
+    thresholds integer-scaled so both engines compare exact integers.
+    """
+    if spark_dialect:
+        toks = "split(text, ' ')"
+        nuniq = "size(array_distinct(toks))"
+        ntok = "size(toks)"
+        stop = (
+            "size(filter(toks, t -> array_contains("
+            "array('the','a','and','of','to','el','la','de','der','die','und'), t)))"
+        )
+    else:
+        toks = "string_split(text, ' ')"
+        nuniq = "len(list_distinct(toks))"
+        ntok = "len(toks)"
+        stop = (
+            "len(list_filter(toks, t -> list_contains("
+            "['the','a','and','of','to','el','la','de','der','die','und'], t)))"
+        )
+    return f"""
+WITH feat AS (
+  SELECT doc_id, lang, n_chars,
+         CAST({ntok} AS BIGINT)  AS n_tokens,
+         CAST({nuniq} AS BIGINT) AS n_uniq,
+         CAST({stop} AS BIGINT)  AS n_stop
+  FROM (SELECT doc_id, lang, n_chars, {toks} AS toks FROM documents) t
+),
+staged AS (
+  SELECT doc_id, n_tokens, n_chars,
+         CASE
+           WHEN n_tokens < 20                      THEN 1
+           WHEN lang NOT IN ('en', 'es', 'de')     THEN 2
+           WHEN 2 * n_uniq < n_tokens              THEN 3
+           WHEN 25 * n_stop < n_tokens             THEN 4
+           ELSE 5
+         END AS stage_idx,
+         CASE
+           WHEN n_tokens < 20                      THEN 'short'
+           WHEN lang NOT IN ('en', 'es', 'de')     THEN 'lang'
+           WHEN 2 * n_uniq < n_tokens              THEN 'repetitive'
+           WHEN 25 * n_stop < n_tokens             THEN 'low_stopword'
+           ELSE 'pass'
+         END AS stage
+  FROM feat
+)
+SELECT stage_idx, stage,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT)  AS total_chars
+FROM staged
+GROUP BY stage_idx, stage
+ORDER BY stage_idx
+"""
+
+
+@register("p28_filter_cascade", oracle=_p28(False), tags=("pipeline", "text", "quality"))
+def p28_filter_cascade(spark, sf_dir):
+    """Quality-filter cascade funnel (see _p28).
+
+    Scale shape: one codegen projection computes every per-document
+    feature (the arrays are built once and all stages read them), the
+    CASE attribution is branch-per-row, and the only shuffle is the
+    5-group aggregate — partial-aggregating, so 100 TB of documents
+    reduces map-side to 5 rows per task.  This is the cheapest possible
+    corpus report: scan speed, constant output.
+    """
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_p28(True))

@@ -120,10 +120,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q07_join_left",
     "q08_join_right",
     "q09_join_full",
-    "q10_cross_join",
-    "q11_scalar_subquery",
-    "q12_distinct",
-    "q13_order_limit_offset",
+    # (d) NEW operators this round — first-ever driver rows: vocabulary
+    # growth curve, filter-cascade funnel, schema-evolution read,
+    # streaming CDC apply
+    "t14_vocab_growth",
+    "p28_filter_cascade",
+    "v13_schema_evolution",
+    "s11_stream_cdc_apply",
 )
 
 

@@ -810,3 +810,128 @@ def s10_stream_session_window(spark, sf_dir):
         result.filter(F.col("session_end_us") <= margin_us)
         .orderBy("user_id", "session_start_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# s11 — streaming CDC apply (continuously-maintained MERGE materialization)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s11_stream_cdc_apply",
+    # identical semantics to the batch half: last change per key wins,
+    # terminal 'view' events are DELETE markers (temporal._P27_ORACLE)
+    oracle=None,  # set right below — the import must not be at module top
+    tags=("pipeline", "streaming", "stateful", "cdc"),
+)
+def s11_stream_cdc_apply(spark, sf_dir):
+    """Streaming CDC apply: the STREAMING half of p27's changelog MERGE —
+    a continuously-maintained final-state view over an unbounded change
+    stream, the operator a feature store or training-corpus snapshot
+    runs to track an upstream operational table in near-real-time.
+
+    applyInPandasWithState keyed by user_id holds exactly one winner per
+    key: the argmax change by (ts, event_id) plus a change counter —
+    O(|keys|) state, never a buffer of the stream.  Each micro-batch
+    folds its rows into the state and emits the CURRENT winner (update
+    semantics); because the winner's (n_changes) strictly increases per
+    emission, the bounded replay's final state is the per-key maximum
+    over all emissions — recovered with one partial-aggregating
+    lexicographic-max regardless of how the source was batched.  A
+    terminal 'view' event deletes the key from the final state (the p27
+    DELETE-marker contract).
+
+    At scale: state is hash-partitioned on user_id (the stream's shuffle
+    key), per-key state is five scalars, and the post-aggregate is the
+    same |keys|-row reduction p27 runs — the 100 TB cost is the one
+    changelog shuffle either way.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+    out_schema = (
+        "user_id bigint, last_event_id bigint, last_value_cents bigint,"
+        " last_ts_us bigint, n_changes bigint, last_type string"
+    )
+    state_schema = (
+        "best_ts bigint, best_eid bigint, best_cents bigint,"
+        " best_type string, n_changes bigint"
+    )
+
+    def apply_changes(key, batches, state: GroupState):
+        best_ts, best_eid, best_cents, best_type, n = (
+            state.get if state.exists else (-1, -1, 0, "", 0)
+        )
+        for rows in batches:
+            ts_us = rows["ts"].astype("int64") // 1_000  # ns -> micros
+            eid = rows["event_id"].astype("int64")
+            cents = (rows["value"] * 100 + 0.5).astype("int64")
+            etype = rows["event_type"]
+            n += len(rows)
+            for t_us, e, c, ty in zip(ts_us, eid, cents, etype):
+                if (t_us, e) > (best_ts, best_eid):
+                    best_ts, best_eid, best_cents, best_type = (
+                        int(t_us),
+                        int(e),
+                        int(c),
+                        str(ty),
+                    )
+        state.update((best_ts, best_eid, best_cents, best_type, int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_event_id": [best_eid],
+                "last_value_cents": [best_cents],
+                "last_ts_us": [best_ts],
+                "n_changes": [n],
+                "last_type": [best_type],
+            }
+        )
+
+    emitted = ev.groupBy("user_id").applyInPandasWithState(
+        apply_changes,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = _drain_memory_sink(emitted, "s11", "update")
+    # latest emission per key = lexicographic max on the monotone counter
+    final = (
+        result.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    "n_changes",
+                    "last_ts_us",
+                    "last_event_id",
+                    "last_value_cents",
+                    "last_type",
+                )
+            ).alias("w")
+        )
+        .select(
+            "user_id",
+            F.col("w.last_event_id").alias("last_event_id"),
+            F.col("w.last_value_cents").alias("last_value_cents"),
+            F.col("w.last_ts_us").alias("last_ts_us"),
+            F.col("w.n_changes").alias("n_changes"),
+            F.col("w.last_type").alias("last_type"),
+        )
+    )
+    return (
+        final.filter(F.col("last_type") != "view")
+        .drop("last_type")
+        .orderBy("user_id")
+    )
+
+
+def _set_s11_oracle() -> None:
+    from sqlrs_spark.operators.temporal import _P27_ORACLE
+    from sqlrs_spark.registry import REGISTRY
+
+    REGISTRY["s11_stream_cdc_apply"].oracle = _P27_ORACLE
+
+
+_set_s11_oracle()
