@@ -499,8 +499,28 @@ def q34_min_cost_supplier(spark, sf_dir):
     Fallback honesty: past measured_broadcast's ceiling the semi join
     shuffles li on l_partkey and the groupBy REUSES that exact
     partitioning — the degraded plan adds no extra exchange.
+
+    Layout routing (r4 verdict #6): the one wide shuffle keys on
+    l_partkey while the shared fact layout buckets on orderkey — the
+    documented single-layout tradeoff.  When a deployment has paid for a
+    SECOND, partkey-bucketed lineitem layout, the probe below adopts it
+    and the groupBy runs on the scan's own partitioning, zero Exchange
+    (q28's promotion pattern applied to an aggregate instead of a join).
     """
-    li = t(spark, sf_dir, "lineitem")
+    from sqlrs_spark.sources.bucketing import adopted_bucketed_source
+
+    li_b = adopted_bucketed_source(spark, sf_dir, "lineitem", "l_partkey")
+    if li_b is not None:
+        return q34_plan(spark, sf_dir, li_b)
+    return q34_plan(spark, sf_dir)
+
+
+def q34_plan(spark, sf_dir, li_src=None):
+    """q34's plan with an optional lineitem source override so the scaled
+    bench can run the IDENTICAL query through a partkey-bucketed layout:
+    the argmin aggregate — this plan's only wide shuffle — inherits the
+    bucketed scan's hash partitioning and its Exchange disappears."""
+    li = li_src if li_src is not None else t(spark, sf_dir, "lineitem")
     part = measured_broadcast(
         t(spark, sf_dir, "part")
         .filter(F.col("p_size") <= 10)

@@ -216,16 +216,57 @@ def adopted_bucketed_facts(
     for b in bucket_candidates:
         names = {}
         for source, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-            table = f"{source}_b_{_layout_tag(sf_dir, source, key, b, key)}"
-            if spark.catalog.tableExists(table):
-                names[source] = table
-                continue
-            loc = os.path.join(_warehouse_path(spark), table)
-            if os.path.exists(os.path.join(loc, "_SUCCESS")):
-                adopt_bucketed(spark, table, loc, key, b, sort_by=key)
-                names[source] = table
-            else:
+            table = _probe_layout(spark, sf_dir, source, key, b, sort_by=key)
+            if table is None:
                 break
+            names[source] = table
         if len(names) == 2:
             return spark.table(names["orders"]), spark.table(names["lineitem"])
+    return None
+
+
+def _probe_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    source: str,
+    key: str,
+    buckets: int,
+    sort_by=None,
+) -> str | None:
+    """Table name of an already-existing bucketed layout for (dataset,
+    source, key, buckets, sort), re-adopting catalog-lost directories —
+    or None.  Never runs the ETL."""
+    table = f"{source}_b_{_layout_tag(sf_dir, source, key, buckets, sort_by)}"
+    if spark.catalog.tableExists(table):
+        return table
+    loc = os.path.join(_warehouse_path(spark), table)
+    if os.path.exists(os.path.join(loc, "_SUCCESS")):
+        adopt_bucketed(spark, table, loc, key, buckets, sort_by=sort_by)
+        return table
+    return None
+
+
+def adopted_bucketed_source(
+    spark: SparkSession,
+    sf_dir: str,
+    source: str,
+    key: str,
+    bucket_candidates=_FACT_BUCKET_CANDIDATES,
+    sort_by=None,
+):
+    """DataFrame through an already-existing bucketed layout of ONE table
+    keyed on ``key``, or None — the single-table analogue of
+    adopted_bucketed_facts, for aggregate-heavy queries whose wide
+    shuffle keys on something other than the fact-join key (q34's
+    l_partkey aggregate is the motivating case: a table buckets one way,
+    so partkey workloads need their own layout; this probe lets the
+    registered entry adopt it transparently when a deployment has paid
+    for one).  Honors the same ``spark.sqlrs.bucketedAdoption=off`` knob.
+    """
+    if spark.conf.get("spark.sqlrs.bucketedAdoption", "on") == "off":
+        return None
+    for b in bucket_candidates:
+        table = _probe_layout(spark, sf_dir, source, key, b, sort_by=sort_by)
+        if table is not None:
+            return spark.table(table)
     return None

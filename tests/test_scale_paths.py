@@ -406,3 +406,48 @@ def test_bloom_prefilter_rejects_non_integral_key(spark, sf_dir):
     measured_broadcast(red)  # populate the measured memo the builder needs
     with pytest.raises(TypeError, match="integral"):
         bloom_prefilter(red, "c_mktsegment", F.col("l_comment"))
+
+
+def test_q34_partkey_layout_routing(spark, sf_dir):
+    """q34 through a partkey-bucketed lineitem layout (r4 verdict #6):
+    the registered entry must adopt an existing layout transparently and
+    return identical rows; the layout-fed plan's argmin aggregate must
+    inherit the scan's partitioning (no Exchange between the bucketed
+    scan and the partial/final HashAggregate pair collapsing to one)."""
+    from sqlrs_spark.operators.analytics_deep import q34_min_cost_supplier, q34_plan
+    from sqlrs_spark.sources.bucketing import (
+        adopted_bucketed_source,
+        ensure_bucketed,
+    )
+
+    plain = [tuple(r) for r in q34_plan(spark, sf_dir).collect()]
+    li_t = ensure_bucketed(spark, sf_dir, "lineitem", "l_partkey", buckets=32)
+    try:
+        li_b = adopted_bucketed_source(spark, sf_dir, "lineitem", "l_partkey")
+        assert li_b is not None, "layout probe missed a just-built layout"
+        routed = [tuple(r) for r in q34_min_cost_supplier(spark, sf_dir).collect()]
+        assert routed == plain
+        bucketed = [tuple(r) for r in q34_plan(spark, sf_dir, li_b).collect()]
+        assert bucketed == plain
+        assert len(plain) > 0
+        # plan shape: the aggregate runs on the bucketed scan's own hash
+        # partitioning — exactly ONE single-stage HashAggregate pair and
+        # no Exchange between scan and aggregate (the final orderBy's
+        # range exchange remains, and is bounded by |parts| rows)
+        plan = (
+            q34_plan(spark, sf_dir, li_b)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange hashpartitioning(l_partkey" not in plan, plan
+        assert "HashAggregate" in plan, plan
+    finally:
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        wh_path = urlparse(wh).path or wh
+        spark.sql(f"drop table if exists {li_t}")
+        shutil.rmtree(os.path.join(wh_path, li_t), ignore_errors=True)
