@@ -311,6 +311,19 @@ def measured_join_strategy(
     - over the ceiling: the plain frame, no prefilter — at 100 TB both
       hints are wrong, the exchange is the honest cost, and Spark's own
       injected runtime filters own the shuffle-thinning job.
+
+    PLAIN-LAYOUT FLOOR, declared after the round-5 measurement: the last
+    idea for the broadcast tier's probe tail — pre-aggregating the
+    filtered fact by the join key BEFORE the probe so ~350M probes drop
+    to ~75M and the post-join aggregate disappears — measured ~28.8s vs
+    ~15.4s for the straight probe on q03 at the 1000x replica
+    (tools/exp_q03_preagg.py; best-of-2 in each of 2+3 separate
+    pre-warmed JVMs, identical results both plans).  A ~75M-group
+    split-radix money aggregate over 350M rows costs ~2x what the probe
+    savings return, consistent with the 100x-era rejection of the same
+    shape.  Probing a measured-broadcast map at ~15-16s IS the plain
+    floor on this box; deployments that need q03 faster pay for the
+    bucketed layout (9-10s via the SHJ tier above).
     """
     spark = reduction.sparkSession
     limit = max_rows or int(

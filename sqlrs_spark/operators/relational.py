@@ -322,7 +322,10 @@ def q03_shipping_priority(spark, sf_dir):
     an order set already reduced by both the date and segment predicates
     (measured 4.4s -> 3.2s at the 100x replica; the pre-aggregate-lineitem
     alternative was measured and REJECTED at 8.8s — a 15M-group decimal
-    hash agg costs more than the join it shrinks).  customer scales with
+    hash agg costs more than the join it shrinks, and RE-REJECTED at the
+    1000x replica in round 5: ~28.8s vs ~15.4s straight probe, see
+    common.measured_join_strategy's plain-layout-floor note and
+    tools/exp_q03_preagg.py).  customer scales with
     SF, so no forced broadcast hint — AQE's stats pick broadcast at small
     SF and a shuffle join once customer outgrows the threshold;
     ORDER+LIMIT fuses to TakeOrderedAndProject (SURVEY §2.6).

@@ -133,10 +133,15 @@ def _latest_round_per_query() -> dict[str, int]:
 
 
 def _fn_closure_src(file_text: str, fn_name: str) -> str | None:
-    """Source of ``fn_name``'s module-level def (decorators included) plus
-    every same-module function reachable from it by simple-name reference
-    (transitive — covers the *_plan helper pattern AND shared sinks like
-    streaming's _drain_memory_sink, which round 4's curation missed)."""
+    """Structural fingerprint of ``fn_name``'s module-level def (decorators
+    included — the oracle SQL lives there) plus every same-module function
+    reachable from it by simple-name reference (transitive — covers the
+    *_plan helper pattern AND shared sinks like streaming's
+    _drain_memory_sink, which round 4's curation missed).
+
+    Compared as AST dumps with leading docstrings stripped: comments and
+    docstring edits don't change the plan, so they must not force a
+    rotation — only code-shape changes do."""
     import ast
 
     tree = ast.parse(file_text)
@@ -148,12 +153,19 @@ def _fn_closure_src(file_text: str, fn_name: str) -> str | None:
     if fn_name not in defs:
         return None
 
-    def seg(node) -> str:
-        start = min(
-            [d.lineno for d in node.decorator_list] + [node.lineno]
-        )
-        lines = file_text.splitlines()
-        return "\n".join(lines[start - 1 : node.end_lineno])
+    def fingerprint(node) -> str:
+        body = node.body
+        if (
+            body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            body = body[1:]  # drop the docstring statement
+        parts = [ast.dump(d) for d in node.decorator_list]
+        parts.append(ast.dump(node.args))
+        parts.extend(ast.dump(stmt) for stmt in body)
+        return "\n".join(parts)
 
     picked: dict[str, str] = {}
     todo = [fn_name]
@@ -161,7 +173,7 @@ def _fn_closure_src(file_text: str, fn_name: str) -> str | None:
         name = todo.pop()
         if name in picked:
             continue
-        picked[name] = seg(defs[name])
+        picked[name] = fingerprint(defs[name])
         for sub in ast.walk(defs[name]):
             if isinstance(sub, ast.Name) and sub.id in defs and sub.id not in picked:
                 todo.append(sub.id)

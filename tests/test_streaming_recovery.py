@@ -10,6 +10,7 @@ the same rows — count AND decimal-exact value sums would both show it.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import time
 
@@ -117,7 +118,8 @@ def chunked_events(spark, sf_dir):
         for root, _, files in os.walk(f"{d}/chunk={i:02d}"):
             for f in files:
                 os.utime(os.path.join(root, f), (1_700_000_000 + i,) * 2)
-    return d
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
 
 
 def _start_sessions(spark, src_dir, ckpt, out_dir):
@@ -156,7 +158,8 @@ def test_session_window_state_survives_kill_and_restart(spark, chunked_events):
     session set diverges from the batch twin — session_window in a batch
     groupBy over the same rows."""
     ckpt = tempfile.mkdtemp(prefix="sqlrs_s10_ckpt_")
-    out = tempfile.mkdtemp(prefix="sqlrs_s10_out_") + "/sessions"
+    out_root = tempfile.mkdtemp(prefix="sqlrs_s10_out_")
+    out = out_root + "/sessions"
 
     q1 = _start_sessions(spark, chunked_events, ckpt, out)
     deadline = time.monotonic() + 120
@@ -208,3 +211,5 @@ def test_session_window_state_survives_kill_and_restart(spark, chunked_events):
     # 5 chunks at 1 file/trigger, phase 2 sees only the remainder
     if was_active and batches_before >= 2:
         assert len(q2.recentProgress) < 5
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out_root, ignore_errors=True)
