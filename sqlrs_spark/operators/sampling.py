@@ -385,3 +385,123 @@ def p25_split_assign(spark, sf_dir):
 
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_p25(True))
+
+
+# ---------------------------------------------------------------------------
+# p30 — quality-ordered selection under a global token budget
+# ---------------------------------------------------------------------------
+
+# integer type-token-ratio quality in millis — exact in both engines
+_P30_FEAT_SPARK = """
+SELECT doc_id, lang,
+       CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(1000 * size(array_distinct(split(text, ' '))) AS BIGINT)
+         DIV CAST(size(split(text, ' ')) AS BIGINT) AS q_milli
+FROM documents
+"""
+_P30_FEAT_DUCK = """
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(1000 * len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         // CAST(len(string_split(text, ' ')) AS BIGINT) AS q_milli
+FROM documents
+"""
+
+#: kept share of the corpus: budget = total tokens // _P30_DIV
+_P30_DIV = 10
+
+
+@register(
+    "p30_quality_budget_select",
+    # the oracle states the SPEC: one global window over (quality desc,
+    # doc_id) keeping every doc whose exclusive running total is under
+    # the budget — the textbook formulation the Spark plan must equal
+    oracle=f"""
+    WITH feat AS ({_P30_FEAT_DUCK}),
+    ranked AS (
+      SELECT *, SUM(n_tokens) OVER (ORDER BY q_milli DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+      FROM feat
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM ranked
+    WHERE cum - n_tokens < (SELECT SUM(n_tokens) // {_P30_DIV} FROM feat)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("pipeline", "sampling", "quality"),
+)
+def p30_quality_budget_select(spark, sf_dir):
+    """Data selection under a token budget: keep the highest-quality
+    documents (integer type-token-ratio score) until the budget — 1/10 of
+    the corpus's tokens — is exhausted, ties at the boundary quality
+    value resolved by doc_id.  This is the curation move behind
+    quality-pruned pretraining mixes ("train on the best X% by score"),
+    and the naive formulation is a GLOBAL SORT of the corpus.
+
+    Spark-first plan avoids that sort entirely (the oracle spells the
+    global-window spec; this plan computes the identical set):
+    1. one partial-aggregating pass collapses the corpus to per-quality
+       token totals — q_milli has at most 1001 values, so this frame is
+       constant-size at ANY corpus scale;
+    2. the quality cutoff q* and the boundary group's remaining budget r
+       come from that tiny frame (driver-side running total — bounded,
+       like the accepted single-row agg reads);
+    3. every doc with q_milli > q* is kept with NO ordering requirement
+       (a codegen filter), and only the ONE boundary quality group runs
+       a doc_id-ordered window to spend the remaining r tokens.
+    At 100 TB: one scan + one 1001-row aggregate + one filter + a window
+    over a single quality stratum — vs the spec's full-corpus sort.
+    """
+    from sqlrs_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    feat = spark.sql(_P30_FEAT_SPARK)
+
+    # tiny frame: per-quality totals, descending — at most 1001 rows
+    qt = sorted(
+        (
+            (r["q_milli"], r["tk"])
+            for r in feat.groupBy("q_milli")
+            .agg(F.sum("n_tokens").alias("tk"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    total = sum(tk for _, tk in qt)
+    budget = total // _P30_DIV
+
+    cum = 0
+    q_star, remaining = None, 0
+    for q, tk in qt:
+        if cum + tk >= budget:
+            q_star, remaining = q, budget - cum
+            break
+        cum += tk
+    if q_star is None:
+        selected = feat  # budget >= total: everything is kept
+    else:
+        full = feat.filter(F.col("q_milli") > q_star)
+        from pyspark.sql import Window as W
+
+        boundary_w = (
+            W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        boundary = (
+            feat.filter(F.col("q_milli") == q_star)
+            .withColumn("cum", F.sum("n_tokens").over(boundary_w))
+            .filter(F.col("cum") - F.col("n_tokens") < remaining)
+            .drop("cum")
+        )
+        selected = full.unionByName(boundary)
+    return (
+        selected.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sqlrs_spark.functions.hashing import md5int_duck
 from sqlrs_spark.operators.common import epoch_us, packed_minmax, t, unpack_id
 from sqlrs_spark.registry import register
 
@@ -269,4 +270,102 @@ def p27_cdc_upsert(spark, sf_dir):
             "n_changes",
         )
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p29 — corpus snapshot diff (dataset-versioning changelog derivation)
+# ---------------------------------------------------------------------------
+
+# Snapshot B is derived from the documents table by fixed modular rules so
+# both engines construct the identical second corpus: doc_id % 97 == 0
+# rows are DELETED, doc_id % 89 == 0 survivors get revised text, and every
+# doc_id % 101 == 0 row spawns an ADDED doc at doc_id + 100_000_000 (clear
+# of every tested id range, including the key-shifted replicas' 1e9 blocks).
+_P29_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id, lang, {md5int_duck("text")} AS digest FROM documents
+),
+b AS (
+  SELECT doc_id, lang,
+         {md5int_duck("CASE WHEN doc_id % 89 = 0 THEN text || ' [rev2]' ELSE text END")}
+           AS digest
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 100000000, lang, {md5int_duck("text || ' [new]'")}
+  FROM documents WHERE doc_id % 101 = 0
+)
+SELECT CASE WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.doc_id IS NULL THEN 'added'
+            WHEN a.digest <> b.digest THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       COALESCE(a.lang, b.lang) AS lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(COALESCE(a.doc_id, b.doc_id)) AS BIGINT) AS id_checksum
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("p29_snapshot_diff", oracle=_P29_ORACLE, tags=("pipeline", "temporal", "cdc"))
+def p29_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff: derive the added/removed/changed/unchanged
+    changelog between two versions of a document corpus — the dataset-
+    versioning primitive behind incremental re-training (only 'added' and
+    'changed' docs re-enter the tokenize/dedup pipeline) and corpus audit
+    reports.  The inverse of p27/s11, which APPLY a changelog: this one
+    RECOVERS the changelog from two materialized states.
+
+    Spark-first plan: content digests (the shared md5→60-bit-int
+    primitive, functions/hashing.py) are computed map-side in each scan,
+    so the single wide operation is one full-outer equi-join on doc_id —
+    two narrow (id, lang, digest) relations co-partitioned on the key,
+    never the text payloads.  At 100 TB both snapshots shuffle ids+
+    digests only (~24 bytes/row); classification and the per-(type, lang)
+    aggregate are codegen'd CASE + partial agg.  Snapshot B is derived
+    from the same table by fixed modular rules (see _P29_ORACLE comment)
+    so the driver can hash-verify real added/removed/changed/unchanged
+    populations without a second stored corpus.
+    """
+    from sqlrs_spark.functions.hashing import md5int_spark
+
+    docs = t(spark, sf_dir, "documents")
+    a = docs.selectExpr(
+        "doc_id", "lang", f"{md5int_spark('text')} AS digest"
+    ).alias("a")
+    b_kept = docs.filter(F.col("doc_id") % 97 != 0).selectExpr(
+        "doc_id",
+        "lang",
+        md5int_spark(
+            "CASE WHEN doc_id % 89 = 0 THEN text || ' [rev2]' ELSE text END"
+        )
+        + " AS digest",
+    )
+    new_digest = md5int_spark("text || ' [new]'")
+    b_added = docs.filter(F.col("doc_id") % 101 == 0).selectExpr(
+        "doc_id + 100000000 AS doc_id",
+        "lang",
+        f"{new_digest} AS digest",
+    )
+    b = b_kept.unionByName(b_added).alias("b")
+    joined = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    change = (
+        F.when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("a.digest") != F.col("b.digest"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            change.alias("change_type"),
+            F.coalesce(F.col("a.lang"), F.col("b.lang")).alias("lang"),
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("did"),
+        )
+        .groupBy("change_type", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("did").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("change_type", "lang")
     )

@@ -115,18 +115,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x02_anti_join",
     "x03_set_ops",
     "x05_expressions",
-    "q02_filter_project",
-    "q04_priority_count",
     "q07_join_left",
     "q08_join_right",
     "q09_join_full",
     # (d) NEW operators this round — first-ever driver rows: vocabulary
     # growth curve, filter-cascade funnel, schema-evolution read,
-    # streaming CDC apply
+    # streaming CDC apply, corpus snapshot diff, token-budget quality
+    # selection.  (q02/q04 yielded their slots to p29/p30: their
+    # filter/project/agg shapes are continuously fuzzed by the
+    # differential select/agg families, the weakest-held r1 evidence.)
     "t14_vocab_growth",
     "p28_filter_cascade",
     "v13_schema_evolution",
     "s11_stream_cdc_apply",
+    "p29_snapshot_diff",
+    "p30_quality_budget_select",
 )
 
 

@@ -486,3 +486,59 @@ def test_differential_qualify(qualify_engines, sql):
     session, duck = qualify_engines
     ok, msg = compare(session.sql(sql), duck, sql)
     assert ok, f"{msg}\nSQL: {sql}"
+
+
+@st.composite
+def membership_query(draw):
+    """IN / NOT IN / EXISTS / NOT EXISTS subquery family — the classic
+    three-valued-logic divergence surface.  The NULL-injecting arm turns
+    the subquery's select list nullable, where ANSI says a non-matching
+    NOT IN must yield UNKNOWN (row dropped) the moment any NULL is in the
+    list — exactly the semantics ad-hoc rewrites to anti-join get wrong.
+    Output is a single aggregate row (COALESCEd for the empty case), so
+    no ordering contract is needed at all."""
+    op = draw(st.sampled_from(["IN", "NOT IN", "EXISTS", "NOT EXISTS"]))
+    o_pred = draw(
+        st.sampled_from(
+            [
+                "o_orderstatus = 'F'",
+                "o_totalprice > 100000",
+                "o_orderkey % 3 = 0",
+            ]
+        )
+    )
+    base = draw(st.sampled_from(["l_orderkey % 7 = 1", "l_quantity < 25"]))
+    if op in ("IN", "NOT IN"):
+        with_null = draw(st.booleans())
+        sel = (
+            "CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderkey END"
+            if with_null
+            else "o_orderkey"
+        )
+        member = (
+            f"l_orderkey {op} (SELECT {sel} FROM orders WHERE {o_pred})"
+        )
+    else:
+        member = (
+            f"{op} (SELECT 1 FROM orders"
+            f" WHERE o_orderkey = l_orderkey AND {o_pred})"
+        )
+    return (
+        "SELECT COUNT(*) AS n, "
+        "COALESCE(CAST(SUM(l_linenumber) AS BIGINT), 0) AS s, "
+        "COALESCE(MIN(l_orderkey), 0) AS mn, "
+        "COALESCE(MAX(l_orderkey), 0) AS mx "
+        f"FROM lineitem WHERE {base} AND ({member})"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=membership_query())
+def test_differential_membership(engines_join, sql):
+    spark, duck = engines_join
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"
