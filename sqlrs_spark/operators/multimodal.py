@@ -730,3 +730,106 @@ def m07_patch_grid(spark, sf_dir):
         " mean_luma int, min_luma int, max_luma int",
     )
     return grid.orderBy("doc_id", "patch_y", "patch_x")
+
+
+# ---------------------------------------------------------------------------
+# m08 — scene-change detection over frame sequences (video-shape analysis)
+# ---------------------------------------------------------------------------
+
+#: |mean-luma delta| at or above this marks a scene boundary (probed on the
+#: corpus: ~16% of frame transitions at 3 — sparse but non-degenerate)
+_M08_THRESH = 3
+_M08_FRAME = 256
+
+_M08_ORACLE = f"""
+WITH frames AS (
+  SELECT d.doc_id, gs.i AS fi,
+         list_reduce(list_prepend(0::BIGINT, list_transform(
+           string_split(substr(d.text, CAST(gs.i*{_M08_FRAME} + 1 AS BIGINT),
+                               {_M08_FRAME}), ''),
+           x -> ascii(x)::BIGINT)), (a, b) -> a + b)
+           // strlen(substr(d.text, CAST(gs.i*{_M08_FRAME} + 1 AS BIGINT),
+                            {_M08_FRAME})) AS luma
+  FROM documents d
+  JOIN generate_series(0, 1000000, 1) AS gs(i)
+    ON gs.i <= ((strlen(d.text) + {_M08_FRAME} - 1) // {_M08_FRAME}) - 1
+),
+marked AS (
+  SELECT doc_id, fi,
+         CASE WHEN ABS(luma - LAG(luma) OVER (PARTITION BY doc_id ORDER BY fi))
+                   >= {_M08_THRESH}
+              THEN 1 ELSE 0 END AS boundary
+  FROM frames
+)
+SELECT doc_id,
+       COUNT(*) AS n_frames,
+       CAST(SUM(boundary) + 1 AS BIGINT) AS n_scenes,
+       CAST(SUM(CASE WHEN boundary = 1 THEN fi ELSE 0 END) AS BIGINT)
+         AS boundary_checksum
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("m08_scene_change", oracle=_M08_ORACLE, tags=("pipeline", "multimodal"))
+def m08_scene_change(spark, sf_dir):
+    """Scene-change detection over a frame sequence: per-frame mean
+    brightness (integer mean byte value over {_M08_FRAME}-byte frames),
+    boundaries where the frame-to-frame delta reaches the threshold —
+    the shot-segmentation pass a video-curation pipeline runs to pick
+    representative frames per scene (m02 samples frames blindly; this
+    picks WHERE to sample).  Payloads are the documents' utf-8 bytes
+    standing in as raw video (the m01/m02 convention: real bytes, real
+    numpy math, deterministic oracle).
+
+    Spark shape: mapInPandas over the binary column — numpy does the
+    frame reshape + per-frame sums + boundary scan per payload, Arrow-
+    batched, and each document collapses to ONE output row inside the
+    UDF, so frames never materialize in the engine and nothing shuffles
+    but the final per-doc rows (the ORDER BY is the test-determinism
+    sort).  The oracle restates the identical frame sums through SQL
+    character arithmetic (corpus is ASCII; byte == char, the m02
+    convention).
+    """
+    import numpy as _np
+
+    docs = binarize_documents(spark, sf_dir).select("doc_id", "payload")
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, nfr, nsc, chk = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = _np.frombuffer(bytes(payload), dtype=_np.uint8)
+                n_frames = (len(arr) + _M08_FRAME - 1) // _M08_FRAME
+                lumas = [
+                    int(arr[i * _M08_FRAME : (i + 1) * _M08_FRAME].sum())
+                    // len(arr[i * _M08_FRAME : (i + 1) * _M08_FRAME])
+                    for i in range(n_frames)
+                ]
+                bounds = [
+                    i
+                    for i in range(1, n_frames)
+                    if abs(lumas[i] - lumas[i - 1]) >= _M08_THRESH
+                ]
+                ids.append(int(doc_id))
+                nfr.append(n_frames)
+                nsc.append(len(bounds) + 1)
+                chk.append(sum(bounds))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nfr,
+                    "n_scenes": nsc,
+                    "boundary_checksum": chk,
+                }
+            )
+
+    out = docs.mapInPandas(
+        detect,
+        schema="doc_id bigint, n_frames bigint, n_scenes bigint,"
+        " boundary_checksum bigint",
+    )
+    return out.orderBy("doc_id")

@@ -115,21 +115,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x02_anti_join",
     "x03_set_ops",
     "x05_expressions",
-    "q07_join_left",
     "q08_join_right",
     "q09_join_full",
     # (d) NEW operators this round — first-ever driver rows: vocabulary
     # growth curve, filter-cascade funnel, schema-evolution read,
     # streaming CDC apply, corpus snapshot diff, token-budget quality
-    # selection.  (q02/q04 yielded their slots to p29/p30: their
-    # filter/project/agg shapes are continuously fuzzed by the
-    # differential select/agg families, the weakest-held r1 evidence.)
+    # selection, scene-change detection.  (q02/q04/q07 yielded their
+    # slots: their filter/project/agg/left-join shapes are continuously
+    # fuzzed by the differential select/agg/join-rows families, making
+    # them the weakest-held r1 evidence.)
     "t14_vocab_growth",
     "p28_filter_cascade",
     "v13_schema_evolution",
     "s11_stream_cdc_apply",
     "p29_snapshot_diff",
     "p30_quality_budget_select",
+    "m08_scene_change",
 )
 
 
