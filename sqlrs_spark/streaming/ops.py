@@ -846,10 +846,18 @@ def s11_stream_cdc_apply(spark, sf_dir):
     same |keys|-row reduction p27 runs — the 100 TB cost is the one
     changelog shuffle either way.
     """
+    return s11_plan(spark, sf_dir)
+
+
+def s11_plan(spark, sf_dir, ev_stream=None):
+    """s11's plan with an optional source override so tests can feed a
+    CHUNKED copy of events through maxFilesPerTrigger=1 — true multi-batch
+    arrival, which exercises the monotone-counter recovery the operator's
+    any-batching claim rests on (tests/test_streaming_multibatch.py)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ev = read_events_stream(spark, sf_dir)
+    ev = ev_stream if ev_stream is not None else read_events_stream(spark, sf_dir)
     out_schema = (
         "user_id bigint, last_event_id bigint, last_value_cents bigint,"
         " last_ts_us bigint, n_changes bigint, last_type string"

@@ -94,3 +94,24 @@ def test_s09_rejects_one_event_type_dataset(spark, tmp_path):
     views_only.coalesce(1).write.parquet(f"{d}/events.parquet")
     with pytest.raises(ValueError, match="no 'click' rows"):
         s09_plan(spark, d)
+
+
+def test_s11_multibatch_equals_singlebatch(spark, chunked_events_dir):
+    """s11's any-batching claim: the stateful CDC apply emits the current
+    winner per key PER BATCH, and the monotone change counter makes the
+    final state recoverable from the emission set under any source
+    slicing.  Feed the same events as 5 time-sliced files at one file per
+    trigger and require bit-identical rows to the single-batch run."""
+    from sqlrs_spark.streaming.ops import s11_plan
+
+    single = [tuple(r) for r in s11_plan(spark, SF).collect()]
+
+    chunked = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunked_events_dir)
+    )
+    multi_df = s11_plan(spark, SF, ev_stream=chunked)
+    multi = [tuple(r) for r in multi_df.collect()]
+    assert multi == single
+    assert len(multi) > 0
