@@ -542,3 +542,55 @@ def test_differential_membership(engines_join, sql):
     spark, duck = engines_join
     ok, msg = compare(spark.sql(sql), duck, sql)
     assert ok, f"{msg}\nSQL: {sql}"
+
+
+@st.composite
+def string_expr_query(draw):
+    """Scalar string-function family over the dialect-shared subset
+    (SURVEY §2.8 surface): concat/case-mapping/trim/pad/substr/replace/
+    reverse compose into one expression whose value feeds BOTH the
+    projection and a GROUP BY, so a single divergence shows up as a
+    different group count, not just a cell.  Restricted to semantics the
+    engines genuinely share: positive substr offsets only (negative
+    offsets legitimately differ), no collation-sensitive comparisons."""
+    base = draw(
+        st.sampled_from(
+            [
+                "l_returnflag || l_linestatus",
+                "CAST(l_orderkey % 1000 AS STRING)",
+                "l_linestatus || CAST(l_linenumber AS STRING)",
+            ]
+        )
+    )
+    outer = draw(
+        st.sampled_from(
+            [
+                "UPPER({e})",
+                "LOWER({e})",
+                "REVERSE({e})",
+                "LPAD({e}, 6, '_')",
+                "RPAD({e}, 6, '.')",
+                "SUBSTR({e}, 1, 3)",
+                "REPLACE({e}, 'N', 'x')",
+                "TRIM({e} || '  ')",
+            ]
+        )
+    ).format(e=base)
+    where = draw(_where)
+    return (
+        f"SELECT {outer} AS v, COUNT(*) AS n, "
+        "COALESCE(CAST(SUM(LENGTH(" + outer + ")) AS BIGINT), 0) AS total_len "
+        f"FROM lineitem {where} GROUP BY v ORDER BY v"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=string_expr_query())
+def test_differential_string_exprs(engines, sql):
+    spark, duck = engines
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"
