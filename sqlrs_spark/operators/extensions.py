@@ -1006,3 +1006,56 @@ def x28_qualify_topk(spark, sf_dir):
 
     register_views(spark, sf_dir, ("lineitem",))
     return Session(spark).sql(_X28_SQL)
+
+
+# ---------------------------------------------------------------------------
+# x29 — numeric RANGE-frame windows (value-offset frames, peer-inclusive)
+# ---------------------------------------------------------------------------
+
+# The frame aggregates are constant per (partition, order-value) peer set,
+# so the output collapses to DISTINCT peer rows — compact AND trivially
+# deterministic (no tiebreaker needed anywhere).
+_X29_SQL = """
+SELECT DISTINCT
+       l_returnflag,
+       CAST(l_quantity AS BIGINT)                                AS qty,
+       COUNT(*) OVER w_below                                     AS n_within_5_below,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w_below AS BIGINT)
+                                                                 AS qty_sum_5_below,
+       COUNT(*) OVER w_around                                    AS n_within_3_around
+FROM lineitem
+WINDOW
+  w_below  AS (PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW),
+  w_around AS (PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)
+               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+ORDER BY l_returnflag, qty
+"""
+
+
+@register(
+    "x29_numeric_range_windows",
+    oracle=_X29_SQL,
+    tags=("extension", "window"),
+)
+def x29_numeric_range_windows(spark, sf_dir):
+    """Numeric value-offset RANGE frames — the third frame kind, completing
+    the window-frame matrix alongside x19 (ROWS) and x27 (time-interval
+    RANGE): for every quantity value, how many line items fall within a
+    quantity band below / around it, per return flag.  The band-count
+    shape behind histogram smoothing and "similar-size orders" features.
+
+    Value frames are peer-inclusive by definition (every row with the
+    same ORDER BY value joins the frame), so results need no tiebreaker
+    — and both frame aggregates are constant per (flag, quantity) peer
+    set, which the DISTINCT exploits to emit one row per distinct value.
+    Identical statement text runs on both engines.
+
+    At scale: one hash-partitioned sort per flag partition computes both
+    frames in a single Window operator (same-partitioning frames share
+    the sort); the DISTINCT collapses map-side.  Quantity is cast to
+    BIGINT so the frame bounds are exact integer arithmetic in both
+    engines (double-valued RANGE offsets invite representation drift).
+    """
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_X29_SQL)

@@ -545,3 +545,61 @@ def v13_schema_evolution(spark, sf_dir):
         .orderBy("lang"),
         root,
     )
+
+
+@register(
+    "v14_gzip_jsonl_source",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM({h31_duck('text')}) AS BIGINT) AS text_digest
+    FROM documents
+    WHERE lang IN ('de', 'es')
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("statement", "json", "source", "compression"),
+)
+def v14_gzip_jsonl_source(spark, sf_dir):
+    """GZIP-compressed JSONL sink → source round-trip — the wire format
+    training corpora actually ship in (CommonCrawl WET/WARC derivatives,
+    HF dataset shards: .jsonl.gz).  Same digest contract as v10; what
+    this adds is the COMPRESSED path: the writer emits .json.gz shards
+    and the reader decodes them transparently by extension.
+
+    Scale note the docstring owes the 100 TB design: gzip is a
+    NON-SPLITTABLE codec — one .gz shard is one input split is one task,
+    so parallelism is fixed at ingest by the shard count, not by
+    maxPartitionBytes (asserted below: the read plan sees exactly as
+    many partitions as shards).  A corpus store wanting splittable text
+    shards uses zstd-in-parquet (v09/v11) — this operator exists because
+    external corpora arrive gzipped whether we like it or not.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin("de", "es"))
+        .repartition(4)  # fixed shard count: the parallelism contract below
+    )
+    root = tempfile.mkdtemp(prefix="sqlrs_jsonlgz_")
+    out_dir = os.path.join(root, "docs")
+    docs.write.mode("overwrite").option("compression", "gzip").json(out_dir)
+    import glob as _glob
+
+    shards = _glob.glob(os.path.join(out_dir, "*.json.gz"))
+    assert shards, "gzip writer produced no .json.gz shards"
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(out_dir)
+    # non-splittable codec: partitions == shards, the fixed-parallelism
+    # property the docstring claims
+    assert back.rdd.getNumPartitions() == len(shards)
+    return materialize_then_rm(
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+            F.sum(F.expr(h31_spark("text"))).alias("text_digest"),
+        )
+        .orderBy("lang"),
+        root,
+    )

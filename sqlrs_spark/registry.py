@@ -115,15 +115,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x02_anti_join",
     "x03_set_ops",
     "x05_expressions",
-    "q08_join_right",
-    "q09_join_full",
     # (d) NEW operators this round — first-ever driver rows: vocabulary
     # growth curve, filter-cascade funnel, schema-evolution read,
     # streaming CDC apply, corpus snapshot diff, token-budget quality
-    # selection, scene-change detection.  (q02/q04/q07 yielded their
-    # slots: their filter/project/agg/left-join shapes are continuously
-    # fuzzed by the differential select/agg/join-rows families, making
-    # them the weakest-held r1 evidence.)
+    # selection, scene-change detection, numeric RANGE frames,
+    # gzip JSONL source.  (q02/q04/q07/q08/q09 yielded their slots: the
+    # join/filter/project/agg shapes are continuously fuzzed by the
+    # differential select/agg/join-rows families — the weakest-held r1
+    # evidence; they join the documented r6 rotation debt.)
     "t14_vocab_growth",
     "p28_filter_cascade",
     "v13_schema_evolution",
@@ -131,6 +130,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "p29_snapshot_diff",
     "p30_quality_budget_select",
     "m08_scene_change",
+    "x29_numeric_range_windows",
+    "v14_gzip_jsonl_source",
 )
 
 
