@@ -352,3 +352,41 @@ def test_x26_bucketed_join_no_fact_shuffle(spark, sf_dir):
     assert join_idx != -1, plan[:2000]
     assert "Bucketed: true" in plan, plan[:2000]
     assert "Exchange" not in plan[join_idx:], plan[join_idx:][:2000]
+
+
+def test_new_text_ops_prune_and_stay_codegen(spark, sf_dir):
+    """Round-5 text/pipeline ops keep the family contract: minimal
+    ReadSchema on the documents scan and no Python in the plan."""
+    for name, need in (
+        ("t14_vocab_growth", {"doc_id", "text"}),
+        # doc_id pruned too: the cascade reads nothing it doesn't aggregate
+        ("p28_filter_cascade", {"lang", "n_chars", "text"}),
+    ):
+        df = SPECS[name].fn(spark, sf_dir)
+        schemas = read_schema_columns(df)
+        assert schemas and set(schemas[0]) == need, (name, schemas)
+        s = explain_str(df)
+        assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, name
+
+
+def test_p29_diff_shuffles_digests_not_text(spark, sf_dir):
+    """The snapshot-diff join must move ids+digests only: every Exchange
+    in the plan carries doc_id/lang/digest-shaped rows, never `text` —
+    digests are computed map-side before the shuffle."""
+    df = SPECS["p29_snapshot_diff"].fn(spark, sf_dir)
+    s = explain_str(df)
+    for line in s.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_p30_no_global_sort_of_corpus(spark, sf_dir):
+    """p30's spec is a full-corpus sort; the plan must NOT contain one —
+    only the boundary-stratum window's sort (bounded by one quality
+    value) and no Sort over the unfiltered feature relation."""
+    df = SPECS["p30_quality_budget_select"].fn(spark, sf_dir)
+    s = explain_str(df)
+    # the only rangepartitioning exchange allowed is the final ORDER BY
+    # over the per-lang aggregate (<= |langs| rows)
+    sorts = [ln for ln in s.splitlines() if "Exchange rangepartitioning" in ln]
+    assert all("lang" in ln for ln in sorts), sorts
