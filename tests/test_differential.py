@@ -594,3 +594,58 @@ def test_differential_string_exprs(engines, sql):
     spark, duck = engines
     ok, msg = compare(spark.sql(sql), duck, sql)
     assert ok, f"{msg}\nSQL: {sql}"
+
+
+@st.composite
+def extract_query(draw):
+    """EXTRACT date-part family over l_shipdate, restricted to the parts
+    both engines define identically (probed: year/quarter/month/day/hour/
+    minute/second/week/doy agree bit-for-bit once cast to BIGINT).
+
+    KNOWN ENGINE DEVIATION (found while building this family): Spark's
+    EXTRACT(DOW ...) is 1-based with Sunday=1 (its DAYOFWEEK), while
+    DuckDB follows PostgreSQL with Sunday=0 — the same calendar day
+    differs by one on every row.  `dow` is therefore excluded here and
+    recorded in COVERAGE.md Known deviations with the portable rewrite
+    (Spark `dow` - 1 == DuckDB `dow`)."""
+    part = draw(
+        st.sampled_from(
+            ["year", "quarter", "month", "day", "hour", "minute",
+             "second", "week", "doy"]
+        )
+    )
+    where = draw(_where)
+    return (
+        f"SELECT CAST(EXTRACT({part} FROM l_shipdate) AS BIGINT) AS v, "
+        "COUNT(*) AS n, MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx "
+        f"FROM lineitem {where} GROUP BY v ORDER BY v"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=extract_query())
+def test_differential_extract(engines, sql):
+    spark, duck = engines
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"
+
+
+def test_dow_deviation_is_exactly_off_by_one(engines):
+    """Pin the documented DOW deviation so a future engine upgrade that
+    silently fixes or shifts it is caught: on every distinct ship date,
+    Spark's EXTRACT(DOW) must equal DuckDB's + 1 (Sunday: 1 vs 0)."""
+    spark, duck = engines
+    q = (
+        "SELECT DISTINCT CAST(EXTRACT(DOW FROM l_shipdate) AS BIGINT) AS d,"
+        " CAST(l_shipdate AS DATE) AS day FROM lineitem ORDER BY day, d"
+    )
+    s_rows = [(r["d"], str(r["day"])) for r in spark.sql(q).collect()]
+    d_rows = [(int(d), str(day)) for d, day in duck.execute(q).fetchall()]
+    assert len(s_rows) == len(d_rows) > 0
+    for (sd, sday), (dd, dday) in zip(s_rows, d_rows):
+        assert sday == dday
+        assert sd == dd + 1, (sday, sd, dd)
