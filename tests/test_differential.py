@@ -649,3 +649,60 @@ def test_dow_deviation_is_exactly_off_by_one(engines):
     for (sd, sday), (dd, dday) in zip(s_rows, d_rows):
         assert sday == dday
         assert sd == dd + 1, (sday, sd, dd)
+
+
+@st.composite
+def numeric_expr_query(draw):
+    """Numeric scalar family over the dialect-shared subset: ABS/SIGN/
+    FLOOR/CEIL/GREATEST/LEAST and the %-operator (probed: C-style
+    dividend-sign semantics in BOTH engines, including negative
+    operands).  Integer division is excluded — the engines agree on the
+    semantics but not the SPELLING (Spark `DIV` vs DuckDB `//`), and
+    these families run identical statement text; FLOOR(x / y) covers the
+    behavior portably.  CAST(double AS INT) is likewise excluded: Spark
+    truncates where DuckDB rounds — the documented deviation pinned by
+    test_double_to_int_cast_deviation below (and the reason
+    operators/common.cents uses FLOOR(x*100 + 0.5), never a bare CAST)."""
+    expr = draw(
+        st.sampled_from(
+            [
+                "ABS(l_quantity - {k})",
+                "CAST(SIGN(l_quantity - {k}) AS BIGINT)",
+                "CAST(FLOOR(l_extendedprice / {k}) AS BIGINT)",
+                "CAST(CEIL(l_quantity / {k}) AS BIGINT)",
+                "l_orderkey % {k}",
+                "(l_partkey - l_orderkey) % {k}",
+                "GREATEST(CAST(l_quantity AS BIGINT), CAST(l_linenumber * {k} AS BIGINT))",
+                "LEAST(CAST(l_quantity AS BIGINT), CAST(l_linenumber * {k} AS BIGINT))",
+            ]
+        )
+    ).format(k=draw(st.integers(2, 29)))
+    where = draw(_where)
+    return (
+        f"SELECT {expr} AS v, COUNT(*) AS n, "
+        "MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx "
+        f"FROM lineitem {where} GROUP BY v ORDER BY v"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=numeric_expr_query())
+def test_differential_numeric_exprs(engines, sql):
+    spark, duck = engines
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"
+
+
+def test_double_to_int_cast_deviation(engines):
+    """Pin CAST(double AS INT)'s cross-engine split (the reason every
+    money path uses FLOOR(x*100 + 0.5)): Spark truncates toward zero,
+    DuckDB rounds — identical text, different values on the .5+ side.
+    An engine upgrade changing either convention must surface here."""
+    spark, duck = engines
+    q = "SELECT CAST(CAST(2.7 AS DOUBLE) AS INT), CAST(CAST(-2.7 AS DOUBLE) AS INT)"
+    assert tuple(spark.sql(q).collect()[0]) == (2, -2)
+    assert tuple(duck.execute(q).fetchone()) == (3, -3)
