@@ -1059,3 +1059,73 @@ def x29_numeric_range_windows(spark, sf_dir):
     """
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_X29_SQL)
+
+
+# ---------------------------------------------------------------------------
+# x30 — observed metrics (CollectMetrics: single-pass data-quality counters)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x30_observed_metrics",
+    # the oracle recomputes every observed counter as plain aggregates —
+    # the semantics CollectMetrics must match while riding the main job
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN n_chars < 20 THEN 1 END), 0) AS BIGINT)
+             AS n_short,
+           CAST(COALESCE(SUM(CASE WHEN lang NOT IN ('en','de','es','fr','zh')
+                                  THEN 1 END), 0) AS BIGINT) AS n_bad_lang,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    """,
+    tags=("extension", "observability"),
+)
+def x30_observed_metrics(spark, sf_dir):
+    """Observed metrics via ``DataFrame.observe`` (Catalyst CollectMetrics):
+    data-quality counters — row count, short-doc count, unknown-language
+    count, char totals — harvested from the SAME single pass that runs the
+    main aggregate, instead of a second full scan.  At 100 TB this is the
+    only affordable way to emit per-job quality telemetry: the metrics
+    expressions ride the scan inside the existing job (Spark streams them
+    through an accumulator), so observability costs zero extra I/O.
+
+    The callable executes the observed plan once (the Observation handle
+    requires a completed action), then returns the harvested metrics as a
+    one-row frame; the oracle recomputes every counter as ordinary
+    aggregates over the same table, so the driver hash proves
+    CollectMetrics' accumulator path agrees with the declarative
+    semantics.  tests/test_plans pins that the observed plan contains a
+    CollectMetrics node (the single-pass property, not a second scan).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("dq")
+    docs = t(spark, sf_dir, "documents").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("n_chars") < 20).cast("long")).alias("n_short"),
+        F.sum(
+            (~F.col("lang").isin("en", "de", "es", "fr", "zh")).cast("long")
+        ).alias("n_bad_lang"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    # the main job: any action over the observed node populates the
+    # metrics; max(n_chars) stands in for the real pipeline's aggregate
+    main = docs.agg(F.max("n_chars").alias("max_chars"))
+    max_chars = main.collect()[0]["max_chars"]
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_short"]),
+                int(m["n_bad_lang"]),
+                int(m["total_chars"]),
+                int(max_chars),
+            )
+        ],
+        "n_rows bigint, n_short bigint, n_bad_lang bigint,"
+        " total_chars bigint, max_chars bigint",
+    )

@@ -105,7 +105,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # family.  The full 40-entry r1/r2 tail does not fit alongside (a)+(b)
     # in 50 slots; the remainder (q14-q16, q18, q20, q26-q30, q35, q37,
     # q10-q13 if displaced by new ops) is the documented r6 rotation debt.
-    "v01_values_scan",
     "v02_dummy_scan",
     "v05_catalog_tables",
     "v06_ctas",
@@ -132,6 +131,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "m08_scene_change",
     "x29_numeric_range_windows",
     "v14_gzip_jsonl_source",
+    # x30 takes v01's slot: VALUES scans hold slt + frontend-drive
+    # coverage and the v-family keeps five other windowed entries
+    "x30_observed_metrics",
 )
 
 

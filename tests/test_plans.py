@@ -390,3 +390,24 @@ def test_p30_no_global_sort_of_corpus(spark, sf_dir):
     # over the per-lang aggregate (<= |langs| rows)
     sorts = [ln for ln in s.splitlines() if "Exchange rangepartitioning" in ln]
     assert all("lang" in ln for ln in sorts), sorts
+
+
+def test_x30_metrics_ride_the_main_pass(spark, sf_dir):
+    """x30's whole point: the quality counters must be a CollectMetrics
+    node inside the main job's plan — one scan, not a second metrics
+    scan.  Asserted on the observed aggregate the operator executes."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from sqlrs_spark.operators.common import t
+
+    obs = Observation("dq_plan_probe")
+    docs = t(spark, sf_dir, "documents").observe(
+        obs, F.count(F.lit(1)).alias("n_rows")
+    )
+    main = docs.agg(F.max("n_chars").alias("max_chars"))
+    s = explain_str(main)
+    assert "CollectMetrics" in s, s
+    # formatted explain names each node twice (tree line + detail
+    # section) — one scan node means exactly two "Scan parquet" mentions
+    assert s.count("Scan parquet") <= 2, s
