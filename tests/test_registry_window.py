@@ -112,14 +112,31 @@ def test_window_entries_have_oracles_where_possible():
 # commit whose driver artifact holds the query's latest row.  A query whose
 # source changed since its latest CORRECTNESS row must be in DRIVER_WINDOW.
 
-#: commit whose tree the round-N driver artifact verified (the
-#: "round N: verdict/advice/correctness/bench" commits add artifacts only)
-_ROUND_COMMITS = {
-    1: "d8710bd770cf82c036f7e2e1bff381fb2b8f10ef",
-    2: "e5e58fc5dad23e1699a724be163d8fe6744071b1",
-    3: "0b6649184a03227b4e3f503eae84a35d3685d439",
-    4: "378c9db2c476752a094c47846fe5044483840e19",
-}
+def _round_commits() -> dict[int, str]:
+    """Commit whose tree each round's driver artifact verified, discovered
+    from the driver's own "round N: verdict/advice/correctness/bench"
+    commits (they add artifact files only, so their trees ARE the verified
+    code).  Auto-discovery means no per-round map maintenance: when a new
+    round's artifact lands, its rows become lintable the moment the
+    driver's commit exists.  Rounds without a matching commit are simply
+    not lintable yet (the caller skips them)."""
+    import re
+    import subprocess
+
+    r = subprocess.run(
+        ["git", "log", "--format=%H %s"], capture_output=True, text=True, cwd=REPO
+    )
+    commits: dict[int, str] = {}
+    for line in r.stdout.splitlines():
+        m = re.match(r"([0-9a-f]{40}) round (\d+): verdict", line)
+        if m and int(m.group(2)) not in commits:
+            # first match in log order = most recent; the driver writes
+            # one per round, so first-wins is also only-wins
+            commits[int(m.group(2))] = m.group(1)
+    return commits
+
+
+_ROUND_COMMITS = _round_commits()
 
 
 def _latest_round_per_query() -> dict[str, int]:
