@@ -706,3 +706,52 @@ def test_double_to_int_cast_deviation(engines):
     q = "SELECT CAST(CAST(2.7 AS DOUBLE) AS INT), CAST(CAST(-2.7 AS DOUBLE) AS INT)"
     assert tuple(spark.sql(q).collect()[0]) == (2, -2)
     assert tuple(duck.execute(q).fetchone()) == (3, -3)
+
+
+@st.composite
+def conditional_expr_query(draw):
+    """Conditional-expression family: CASE / COALESCE / NULLIF composed so
+    NULLs are INJECTED mid-expression (NULLIF manufactures them from real
+    data) and then consumed by the outer conditional — the null-
+    propagation chains that desugar differently per engine but must agree
+    in value.  Searched CASE (WHEN pred) and simple CASE (CASE expr WHEN
+    value) both appear; the expression feeds projection AND GROUP BY."""
+    k = draw(st.integers(2, 9))
+    inner = draw(
+        st.sampled_from(
+            [
+                # NULL wherever the modulus hits: downstream must revive it
+                "NULLIF(l_orderkey % {k}, 0)",
+                "NULLIF(l_linenumber, {k})",
+                "NULLIF(CAST(l_quantity AS BIGINT), {k} * 5)",
+            ]
+        )
+    ).format(k=k)
+    outer = draw(
+        st.sampled_from(
+            [
+                "COALESCE({e}, -1)",
+                "COALESCE(NULLIF({e}, 1), {e}, -1)",
+                "CASE WHEN {e} IS NULL THEN -1 ELSE {e} + 1 END",
+                "CASE {e} WHEN 1 THEN -10 WHEN 2 THEN -20 ELSE COALESCE({e}, 0) END",
+            ]
+        )
+    ).format(e=inner)
+    where = draw(_where)
+    return (
+        f"SELECT CAST({outer} AS BIGINT) AS v, COUNT(*) AS n, "
+        "MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx "
+        f"FROM lineitem {where} GROUP BY v ORDER BY v"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=conditional_expr_query())
+def test_differential_conditional_exprs(engines, sql):
+    spark, duck = engines
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"
