@@ -854,10 +854,19 @@ def s11_plan(spark, sf_dir, ev_stream=None):
     CHUNKED copy of events through maxFilesPerTrigger=1 — true multi-batch
     arrival, which exercises the monotone-counter recovery the operator's
     any-batching claim rests on (tests/test_streaming_multibatch.py)."""
+    ev = ev_stream if ev_stream is not None else read_events_stream(spark, sf_dir)
+    emitted = s11_emitted(ev)
+    result = _drain_memory_sink(emitted, "s11", "update")
+    return s11_finalize(result)
+
+
+def s11_emitted(ev):
+    """The stateful stage of s11, sink-free: tests attach their own sink
+    (foreachBatch->parquet for the kill/restart recovery scenario, where
+    the memory sink would silently reset on restart)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ev = ev_stream if ev_stream is not None else read_events_stream(spark, sf_dir)
     out_schema = (
         "user_id bigint, last_event_id bigint, last_value_cents bigint,"
         " last_ts_us bigint, n_changes bigint, last_type string"
@@ -897,15 +906,21 @@ def s11_plan(spark, sf_dir, ev_stream=None):
             }
         )
 
-    emitted = ev.groupBy("user_id").applyInPandasWithState(
+    return ev.groupBy("user_id").applyInPandasWithState(
         apply_changes,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    result = _drain_memory_sink(emitted, "s11", "update")
-    # latest emission per key = lexicographic max on the monotone counter
+
+
+def s11_finalize(result):
+    """Reduce s11's emission log to the final per-key state: latest
+    emission per key = lexicographic max on the monotone counter.  Also
+    how a KILLED-and-restarted run recovers — replayed batches re-emit
+    with counters <= the final ones, so duplicates from an at-least-once
+    sink are absorbed by the max (tests/test_streaming_recovery.py)."""
     final = (
         result.groupBy("user_id")
         .agg(

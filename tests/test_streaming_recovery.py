@@ -150,6 +150,101 @@ def _start_sessions(spark, src_dir, ckpt, out_dir):
     )
 
 
+# --- s11: applyInPandasWithState argmax recovery (round-5 verdict #7) ----
+
+
+def _start_cdc(spark, src_dir, ckpt, out):
+    from sqlrs_spark.streaming.ops import s11_emitted
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    )
+    return (
+        s11_emitted(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, _bid: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def test_cdc_apply_state_survives_kill_and_restart(spark, multi_file_events):
+    """s11's GroupState (one argmax winner per key) killed mid-stream and
+    restarted from the same checkpoint.  Lost state would NOT error — the
+    restarted run would silently restart winners from scratch, so the
+    per-key (n_changes, winner) in the final reduction would diverge from
+    the batch twin.  The sink is an append-only parquet emission log
+    (foreachBatch — the memory sink resets on restart); s11_finalize's
+    monotone-counter max absorbs any replayed-batch duplicates, which is
+    exactly the operator's recovery contract."""
+    import shutil as _sh
+
+    ckpt = tempfile.mkdtemp(prefix="sqlrs_s11_ckpt_")
+    out_root = tempfile.mkdtemp(prefix="sqlrs_s11_out_")
+    out = out_root + "/emissions"
+
+    q1 = _start_cdc(spark, multi_file_events, ckpt, out)
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        if len(q1.recentProgress) >= 2 or not q1.isActive:
+            break
+        time.sleep(0.2)
+    was_active = q1.isActive
+    q1.stop()
+    q1.awaitTermination()
+    batches_before = len(q1.recentProgress)
+
+    q2 = _start_cdc(spark, multi_file_events, ckpt, out)
+    q2.awaitTermination()
+
+    from sqlrs_spark.streaming.ops import s11_finalize
+    from pyspark.sql.window import Window
+
+    recovered = sorted(
+        tuple(r) for r in s11_finalize(spark.read.parquet(out)).collect()
+    )
+    # batch twin, independent path: ROW_NUMBER()=1 over (ts, event_id)
+    # desc per key (p27's textbook formulation) on the same source rows
+    ev = spark.read.parquet(multi_file_events)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    twin = sorted(
+        tuple(r)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count("*").over(Window.partitionBy("user_id")))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "view"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("last_value_cents"),
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("last_ts_us"),
+            "n_changes",
+        )
+        .collect()
+    )
+    assert recovered == twin, (
+        f"CDC state diverged after kill@batch{batches_before}"
+        f" (was_active={was_active}): {len(recovered)} vs {len(twin)} keys"
+    )
+    assert len(recovered) > 0
+    # restart must RESUME from checkpointed offsets: 8 source files at
+    # 1 file/trigger, phase 2 sees only the remainder
+    if was_active and batches_before >= 2:
+        assert len(q2.recentProgress) < 8
+    _sh.rmtree(ckpt, ignore_errors=True)
+    _sh.rmtree(out_root, ignore_errors=True)
+
+
 def test_session_window_state_survives_kill_and_restart(spark, chunked_events):
     """s10's engine-managed merging session state, killed mid-stream and
     restarted from the same checkpoint into a parquet sink (exactly-once
