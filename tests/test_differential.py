@@ -320,6 +320,88 @@ def test_differential_window(engines, sql):
 
 
 @st.composite
+def range_frame_query(draw):
+    """RANGE-frame family (round-5 verdict #5): value-offset frames with
+    NUMERIC and INTERVAL offsets — the frame kinds x29/x27 pinned as
+    single scenarios, here fuzzed across offsets, bound shapes and sort
+    direction.  Identical statement text runs on both engines.
+
+    Determinism: a RANGE frame's membership is decided by ORDER-BY
+    *values*, not row positions, so every frame aggregate (COUNT/SUM/
+    MIN/MAX over any column) is constant per (partition, order-value)
+    peer set even though lineitem holds fully duplicate rows.  The
+    numeric branch emits one row per peer set via DISTINCT (unique
+    output key, no LIMIT ambiguity); the interval branch runs over
+    events, where event_id is unique, so raw per-row output is already
+    deterministic (the x27 shape)."""
+    kind = draw(st.sampled_from(["numeric", "interval"]))
+    direction = draw(st.sampled_from(["ASC", "DESC"]))
+    lo = draw(st.integers(1, 12))
+    hi = draw(st.integers(1, 12))
+    bounds = draw(
+        st.sampled_from(
+            [
+                f"{lo} PRECEDING AND CURRENT ROW",
+                f"{lo} PRECEDING AND {hi} FOLLOWING",
+                f"CURRENT ROW AND {hi} FOLLOWING",
+                f"UNBOUNDED PRECEDING AND {hi} FOLLOWING",
+            ]
+        )
+    )
+    if kind == "numeric":
+        part = draw(
+            st.sampled_from(["l_returnflag", "l_linestatus", "l_orderkey % 5"])
+        )
+        where = draw(_where)
+        return (
+            f"SELECT DISTINCT {part} AS pk, CAST(l_quantity AS BIGINT) AS qty, "
+            f"COUNT(*) OVER w AS n_in_band, "
+            f"CAST(SUM(CAST(l_linenumber AS BIGINT)) OVER w AS BIGINT) AS s_ln, "
+            f"MIN(l_orderkey) OVER w AS mn_k, MAX(l_orderkey) OVER w AS mx_k "
+            f"FROM lineitem {where} "
+            f"WINDOW w AS (PARTITION BY {part} "
+            f"ORDER BY CAST(l_quantity AS BIGINT) {direction} "
+            f"RANGE BETWEEN {bounds}) "
+            f"ORDER BY pk, qty"
+        )
+    unit = draw(st.sampled_from(["MINUTES", "HOURS"]))
+    ibounds = bounds.replace(f"{lo} PRECEDING", f"INTERVAL {lo * 7} {unit} PRECEDING")
+    ibounds = ibounds.replace(f"{hi} FOLLOWING", f"INTERVAL {hi * 7} {unit} FOLLOWING")
+    part = draw(st.sampled_from(["user_id", "event_type"]))
+    return (
+        f"SELECT event_id, "
+        f"COUNT(*) OVER w AS n_in_band, "
+        f"MIN(event_id) OVER w AS mn_e, MAX(event_id) OVER w AS mx_e "
+        f"FROM events "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY ts {direction} "
+        f"RANGE BETWEEN {ibounds}) "
+        f"ORDER BY event_id"
+    )
+
+
+@pytest.fixture(scope="module")
+def engines_events(spark, duck, sf_dir):
+    from tests.oracle import register_duck_views
+    from sqlrs_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "events"))
+    register_duck_views(duck, sf_dir)
+    return spark, duck
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=range_frame_query())
+def test_differential_range_frames(engines_events, sql):
+    spark, duck = engines_events
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"
+
+
+@st.composite
 def groupingsets_query(draw):
     """ROLLUP / CUBE / GROUPING SETS family (round-3 verdict #9): the
     super-aggregate NULLs and GROUPING() disambiguation bits must agree
