@@ -21,7 +21,14 @@ pipeline, not just row counts.
 
 from __future__ import annotations
 
-from sqlrs_spark.functions.hashing import MINHASH_PERMS, P31, h31_duck, h31_spark
+from sqlrs_spark.functions.hashing import (
+    MINHASH_PERMS,
+    P31,
+    h31_duck,
+    h31_spark,
+    md5int_duck,
+    md5int_spark,
+)
 from sqlrs_spark.registry import register
 from sqlrs_spark.sources.tables import register_views
 
@@ -864,3 +871,170 @@ def p26_semantic_dedup(spark, sf_dir):
         .select("vec_id", "cent_id", "dup_of")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# p31 — incremental dedup: new batch vs existing corpus (delta ingest)
+# ---------------------------------------------------------------------------
+
+
+def _p31(spark_dialect: bool) -> str:
+    """Dual-dialect builder for batch-vs-corpus incremental dedup.
+
+    The daily-crawl shape: the corpus already exists (doc_id % 5 <> 0
+    here), a new batch arrives (doc_id % 5 = 0), and each new doc gets a
+    verdict WITHOUT re-deduplicating the corpus against itself — exact
+    digest hit, MinHash near-dup hit (shared LSH band key, verified
+    Jaccard >= threshold), or genuinely new.
+
+    Scale shape: p17's bipartite-band pattern pointed the other way —
+    candidates scale with |batch| x bucket-collision rate, never
+    |corpus|^2; the corpus contributes only (digest) and (band, band_key)
+    pairs to the joins, its text never shuffles, and at 100 TB the batch
+    side's bands broadcast (a day's crawl vs the whole corpus).
+    """
+    hs, sig = _minhash_sig(spark_dialect)
+    if spark_dialect:
+        toks = "array_distinct(split(text, ' '))"
+        band_key = "concat_ws(':', slice(sig, band * {r} + 1, {r}))".format(
+            r=_ROWS_PER_BAND
+        )
+        bands_src = f"LATERAL VIEW explode(sequence(0, {_N_BANDS - 1})) AS band"
+        inter = "size(array_intersect(t.toks, e.toks))"
+        nsz = "size({s}.toks)"
+    else:
+        toks = "list_distinct(string_split(text, ' '))"
+        band_key = "array_to_string(sig[band * {r} + 1 : band * {r} + {r}], ':')".format(
+            r=_ROWS_PER_BAND
+        )
+        bands_src = f", (SELECT unnest(range(0, {_N_BANDS})) AS band) bx"
+        inter = "len(list_intersect(t.toks, e.toks))"
+        nsz = "len({s}.toks)"
+    jac = f"{inter} / CAST({nsz.format(s='t')} + {nsz.format(s='e')} - {inter} AS DOUBLE)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 5 = 0 AS is_batch, md5(text) AS digest, {sig} AS sig
+  FROM (SELECT doc_id, text, {hs} AS hs FROM documents) h
+),
+toks_t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+bands AS (
+  SELECT doc_id, is_batch, band, {band_key} AS band_key
+  FROM base {bands_src}
+),
+exact_hits AS (
+  SELECT DISTINCT b.doc_id
+  FROM base b JOIN base c ON b.digest = c.digest
+  WHERE b.is_batch AND NOT c.is_batch
+),
+near_hits AS (
+  SELECT DISTINCT c.b_id AS doc_id
+  FROM (
+    SELECT DISTINCT bb.doc_id AS b_id, cb.doc_id AS c_id
+    FROM bands bb JOIN bands cb
+      ON bb.band = cb.band AND bb.band_key = cb.band_key
+    WHERE bb.is_batch AND NOT cb.is_batch
+  ) c
+  JOIN toks_t t ON t.doc_id = c.b_id
+  JOIN toks_t e ON e.doc_id = c.c_id
+  WHERE {jac} >= {_JACCARD_T}
+)
+SELECT b.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS verdict
+FROM base b
+LEFT JOIN exact_hits e ON b.doc_id = e.doc_id
+LEFT JOIN near_hits n ON b.doc_id = n.doc_id
+WHERE b.is_batch
+ORDER BY b.doc_id
+"""
+
+
+@register("p31_incremental_dedup", oracle=_p31(False), tags=("pipeline", "dedup"))
+def p31_incremental_dedup(spark, sf_dir):
+    """Incremental (delta) dedup: verdict per NEW document against the
+    EXISTING corpus — 'exact_dup' (corpus digest hit), 'near_dup'
+    (verified MinHash-LSH hit at p02's threshold) or 'new'.  See _p31
+    for the bipartite scale shape.  Beyond-reference: the reference
+    engine has no dedup surface; this extends SURVEY §2's pipeline
+    family (p01/p02/p17 are the self-join and decontamination twins).
+    """
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_p31(True))
+
+
+# ---------------------------------------------------------------------------
+# p32 — source-overlap contamination matrix (which sources copy which)
+# ---------------------------------------------------------------------------
+
+
+def _p32(spark_dialect: bool) -> str:
+    """Dual-dialect builder for the source-pair shingle-overlap matrix.
+
+    Corpus-audit twin of t13's doc-pair containment, lifted to SOURCE
+    granularity: for every source pair, how many distinct token-5-gram
+    digests they share and the containment (shared / smaller side) in
+    exact ppm.  The audit that catches one crawl mirroring another
+    before both get sampled into a training mix as "independent" data.
+
+    Scale shape: one exploded-shingle shuffle to the DISTINCT (source,
+    digest) relation (digests are 60-bit longs — the p16 hardening, so
+    the wide shuffle carries 16 bytes/row, never gram text); the pair
+    join is digest-keyed with fan-out bounded by sources-per-shingle
+    (<= #sources, a constant), and the matrix is #sources^2 rows at most.
+    """
+    if spark_dialect:
+        grams = (
+            "SELECT source, "
+            f"{md5int_spark('g')} AS gd "
+            "FROM (SELECT source, explode(array_distinct(transform("
+            " sequence(0, size(tk) - 5),"
+            " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])))) AS g"
+            " FROM (SELECT source, split(text, ' ') AS tk FROM documents"
+            "       WHERE text IS NOT NULL) WHERE size(tk) >= 5)"
+        )
+        idiv = "DIV"
+    else:
+        grams = (
+            "SELECT source, "
+            f"{md5int_duck('g')} AS gd "
+            "FROM (SELECT source, unnest(list_distinct(list_transform("
+            " range(0, len(tk) - 4),"
+            " i -> array_to_string(tk[i + 1 : i + 5], ' ')))) AS g"
+            " FROM (SELECT source, string_split(text, ' ') AS tk FROM documents"
+            "       WHERE text IS NOT NULL) t WHERE len(tk) >= 5) u"
+        )
+        idiv = "//"
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT source, gd FROM ({grams}) g
+),
+sizes AS (
+  SELECT source, COUNT(*) AS n_grams FROM grams GROUP BY source
+),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+  FROM grams a JOIN grams b ON a.gd = b.gd AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s.src_a, s.src_b,
+       CAST(s.n_shared AS BIGINT) AS n_shared,
+       CAST(sa.n_grams AS BIGINT) AS grams_a,
+       CAST(sb.n_grams AS BIGINT) AS grams_b,
+       CAST(s.n_shared * 1000000 {idiv} LEAST(sa.n_grams, sb.n_grams) AS BIGINT)
+         AS containment_ppm
+FROM shared s
+JOIN sizes sa ON sa.source = s.src_a
+JOIN sizes sb ON sb.source = s.src_b
+ORDER BY s.src_a, s.src_b
+"""
+
+
+@register("p32_source_overlap_matrix", oracle=_p32(False), tags=("pipeline", "dedup"))
+def p32_source_overlap_matrix(spark, sf_dir):
+    """Source-overlap contamination matrix: distinct shared 5-gram digests
+    and exact-ppm containment for every source pair (see _p32)."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_p32(True))

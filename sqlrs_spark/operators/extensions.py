@@ -1129,3 +1129,91 @@ def x30_observed_metrics(spark, sf_dir):
         "n_rows bigint, n_short bigint, n_bad_lang bigint,"
         " total_chars bigint, max_chars bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# x31 — interval range join via time-bucket expansion (the range-join
+#       optimization Spark lacks natively)
+# ---------------------------------------------------------------------------
+
+_X31_SPARK = """
+WITH win AS (
+  SELECT user_id AS owner,
+         MIN(ts) AS w_start,
+         MIN(ts) + INTERVAL 6 HOURS AS w_end
+  FROM events WHERE user_id % 10 = 0 GROUP BY user_id
+),
+winb AS (
+  SELECT owner, w_start, w_end, bucket
+  FROM win
+  LATERAL VIEW explode(sequence(date_trunc('hour', w_start),
+                                date_trunc('hour', w_end),
+                                interval 1 hour)) AS bucket
+),
+ev AS (
+  SELECT user_id, ts,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_cents,
+         date_trunc('hour', ts) AS bucket
+  FROM events
+)
+SELECT w.owner,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       CAST(SUM(e.v_cents) AS BIGINT) AS total_cents
+FROM winb w JOIN ev e ON e.bucket = w.bucket
+WHERE e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.owner
+ORDER BY w.owner
+"""
+
+# the oracle is the NAIVE range join — a different formulation on purpose,
+# proving the bucket-expansion rewrite preserves interval-overlap semantics
+_X31_DUCK = """
+WITH win AS (
+  SELECT user_id AS owner,
+         MIN(ts) AS w_start,
+         MIN(ts) + INTERVAL 6 HOURS AS w_end
+  FROM events WHERE user_id % 10 = 0 GROUP BY user_id
+)
+SELECT w.owner,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM win w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.owner
+ORDER BY w.owner
+"""
+
+
+@register(
+    "x31_range_join_bucketed",
+    oracle=_X31_DUCK,
+    tags=("extension", "join", "events"),
+)
+def x31_range_join_bucketed(spark, sf_dir):
+    """Interval range join — every event falling inside each observation
+    window ([first event, +6h) per sampled user), joined CROSS-ENTITY —
+    via time-bucket expansion: windows explode map-side into the hour
+    buckets they cover (bounded: 7 per 6-hour window), events map to
+    exactly ONE bucket each, and the join becomes a bucket EQUI-join plus
+    a residual interval filter.
+
+    Spark has no native band/range join optimization: a raw `ON ts
+    BETWEEN s AND e` join plans as BroadcastNestedLoopJoin — acceptable
+    only when one side is a constant-size dimension (x13's 4-row band
+    table; temporal.py:134), O(|wins| * |events|) compares when BOTH
+    sides grow with the data, as observation windows do.  The bucket
+    rewrite is the standard fix (the technique behind Databricks' range
+    join hint, built from plain operators): each event is compared only
+    against windows sharing its hour bucket, so work is O(|events| *
+    windows-per-bucket), shuffle-partitioned on the bucket key, AQE-
+    managed like any equi-join.  Same rows, provably: the DuckDB oracle
+    runs the NAIVE inequality join.
+
+    All arithmetic stays on TIMESTAMP_NTZ (no epoch cast), so the plan is
+    timezone-proof by construction; the output carries no timestamps.
+    Determinism: COUNT/COUNT DISTINCT/bigint-cents SUM are exact.
+    """
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_X31_SPARK)

@@ -1064,3 +1064,72 @@ def p28_filter_cascade(spark, sf_dir):
     """
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_p28(True))
+
+
+# ---------------------------------------------------------------------------
+# t15 — token concentration profile (head-heaviness per language)
+# ---------------------------------------------------------------------------
+
+
+def _t15(spark_dialect: bool) -> str:
+    """Dual-dialect builder for the per-language token-concentration
+    profile: total token occurrences, distinct types, and the exact-ppm
+    share captured by the top-10 / top-100 tokens (count DESC, token ASC
+    tiebreak — fully deterministic rank).
+
+    The head-heaviness audit behind tokenizer and mixing decisions: a
+    lang slice whose top-100 tokens carry most of the mass is boilerplate
+    or template spam, not natural text (natural corpora follow Zipf —
+    heavy but not degenerate heads).  Shares are exact integer ppm
+    (bigint multiply + floor division in both engines) so the driver
+    value-hash holds.
+
+    Scale shape: ONE exploded-token shuffle into the (lang, tok) partial-
+    aggregating count (the t14 pattern — 100 TB of text reduces map-side
+    to the vocabulary), then a window over the vocab-bounded count table
+    partitioned by lang, then a |langs|-row aggregate.  The document
+    bodies never ride a shuffle.
+    """
+    if spark_dialect:
+        tok_src = (
+            "SELECT lang, tok FROM documents "
+            "LATERAL VIEW explode(split(text, ' ')) AS tok "
+            "WHERE text IS NOT NULL"
+        )
+        idiv = "DIV"
+    else:
+        tok_src = (
+            "SELECT lang, tok FROM documents, "
+            "unnest(string_split(text, ' ')) AS u(tok) WHERE text IS NOT NULL"
+        )
+        idiv = "//"
+    return f"""
+WITH toks AS ({tok_src}),
+counts AS (
+  SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY lang, tok
+),
+ranked AS (
+  SELECT lang, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS rnk
+  FROM counts
+)
+SELECT lang,
+       CAST(SUM(cnt) AS BIGINT)  AS n_tokens,
+       CAST(COUNT(*) AS BIGINT)  AS n_types,
+       CAST(SUM(CASE WHEN rnk <= 10 THEN cnt ELSE 0 END) * 1000000
+            {idiv} SUM(cnt) AS BIGINT) AS top10_ppm,
+       CAST(SUM(CASE WHEN rnk <= 100 THEN cnt ELSE 0 END) * 1000000
+            {idiv} SUM(cnt) AS BIGINT) AS top100_ppm
+FROM ranked
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("t15_token_concentration", oracle=_t15(False), tags=("pipeline", "text"))
+def t15_token_concentration(spark, sf_dir):
+    """Per-language token-concentration profile (see _t15): the Zipf-head
+    audit — how much of each lang slice's token mass its top-10/top-100
+    tokens capture, in exact ppm."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_t15(True))

@@ -59,81 +59,80 @@ def register(
 # t01-t08/t10, m01/m02/m04/m06, s01-s07 keep their green r2 rows + the
 # local parity suite).  Rotated in, by reason:
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-5 curation. The recency lints pin most of this window:
-    # (a) every pipeline p/t/m/s and bench-flagged entry whose latest row
-    # is r3 — after the r5 artifact lands, the last-two-rounds check sees
-    # r4∪r5, so an r3-only row would drop out of hard verification:
-    "q01_pricing_summary",
-    "q06_simple_agg",
-    "q22_volume_shipping",
-    "q34_min_cost_supplier",
-    "x12_asof_join",
-    "x18_funnel",
-    "t01_token_count",
-    "t09_unicode_clean",
-    "t11_ngram_novelty",
-    "t12_unigram_lm_score",
-    "p10_dedup_canonical",
-    "p18_ann_ivf_kmeans",
-    "p24_embedding_quant",
-    "p25_split_assign",
-    "p26_semantic_dedup",
-    "m03_fake_embed",
-    "m05_image_neardup",
-    "m07_patch_grid",
-    # (b) rewritten since their latest rows (the new rewritten=>re-verify
-    # lint enforces this mechanically — VERDICT r4 #3): s09's eviction
-    # margin + drain changed in r4 AFTER its r3 row (s08 rides along per
-    # the verdict, though its foreachBatch path never touches the shared
-    # drain); x15's HLL gate widened this round; the ten q-entries' helper
-    # closures changed across r2-r4 while their rows stayed r1
-    "s08_stream_foreachbatch_sink",
-    "s09_stream_stream_outer_join",
-    "x15_approx_sketches",
-    "q17_join_residual",
-    "q19_disjunctive_pred",
-    "q21_top_supplier",
-    "q23_market_share",
-    "q24_promo_effect",
-    "q31_top_supplier",
-    "q32_small_qty_revenue",
-    "q33_supplier_cnt",
-    "q36_waiting_suppliers",
-    "q38_excess_suppliers",
-    # (c) oldest-evidence rotation (VERDICT r4 #4): the r1/r2 tail, oldest
-    # first — frontend v-family, the early x-extensions, and the join
-    # family.  The full 40-entry r1/r2 tail does not fit alongside (a)+(b)
-    # in 50 slots; the remainder (q14-q16, q18, q20, q26-q30, q35, q37,
-    # q10-q13 if displaced by new ops) is the documented r6 rotation debt.
-    "v02_dummy_scan",
-    "v05_catalog_tables",
-    "v06_ctas",
-    "v07_catalog_columns",
-    "v08_replacement_scan",
-    "x01_semi_join",
-    "x02_anti_join",
-    "x03_set_ops",
-    "x05_expressions",
-    # (d) NEW operators this round — first-ever driver rows: vocabulary
-    # growth curve, filter-cascade funnel, schema-evolution read,
-    # streaming CDC apply, corpus snapshot diff, token-budget quality
-    # selection, scene-change detection, numeric RANGE frames,
-    # gzip JSONL source.  (q02/q04/q07/q08/q09 yielded their slots: the
-    # join/filter/project/agg shapes are continuously fuzzed by the
-    # differential select/agg/join-rows families — the weakest-held r1
-    # evidence; they join the documented r6 rotation debt.)
-    "t14_vocab_growth",
-    "p28_filter_cascade",
-    "v13_schema_evolution",
+    # Round-6 curation.  Slot arithmetic (test_registry_window.py): 145
+    # registry entries cannot all re-verify in 50 slots/round, so the
+    # lints enforce a CADENCE — pipeline/bench entries re-row every <=3
+    # rounds, everything else every <=4 — and the window alternates
+    # between the pipeline-heavy and tail-clearing halves of that cycle
+    # (steady state: ~73/3 + ~72/4 ~= 42 mandatory slots, the rest free).
+    # (a) NEW operators this round — first-ever driver rows: incremental
+    # batch-vs-corpus dedup, source-overlap contamination matrix, token
+    # concentration profile, bucketed interval range join:
+    "p31_incremental_dedup",
+    "p32_source_overlap_matrix",
+    "t15_token_concentration",
+    "x31_range_join_bucketed",
+    # (b) rewritten since its latest row (the rewritten=>re-verify lint):
+    # s11_plan split into s11_emitted/s11_finalize for the recovery test
     "s11_stream_cdc_apply",
-    "p29_snapshot_diff",
-    "p30_quality_budget_select",
-    "m08_scene_change",
-    "x29_numeric_range_windows",
-    "v14_gzip_jsonl_source",
-    # x30 takes v01's slot: VALUES scans hold slt + frontend-drive
-    # coverage and the v-family keeps five other windowed entries
-    "x30_observed_metrics",
+    # (c) the r1-evidence tail, ALL 21 entries (VERDICT r5 #1): their only
+    # driver rows predate four rounds of session-conf drift (ANSI, bloom
+    # thresholds, heap, bucketed adoption); the new max-staleness lint
+    # makes this class of debt impossible to re-accrue silently
+    "q02_filter_project",
+    "q04_priority_count",
+    "q07_join_left",
+    "q08_join_right",
+    "q09_join_full",
+    "q10_cross_join",
+    "q11_scalar_subquery",
+    "q12_distinct",
+    "q13_order_limit_offset",
+    "q14_agg_distinct",
+    "q15_date_interval",
+    "q16_minmax_strings",
+    "q18_derived_table",
+    "q20_returned_items",
+    "q26_inactive_customers",
+    "q27_order_priority",
+    "q29_important_parts",
+    "q30_customer_distribution",
+    "q35_priority_shipping",
+    "q37_forecast_revenue",
+    "v01_values_scan",
+    # (d) pipeline/bench cadence fill, 24 slots: every bench-flagged
+    # entry whose latest row is r4 (the scale artifacts must rest on
+    # hard-verified queries), then the r4-latest pipeline entries most
+    # exposed to conf drift — streaming (checkpoint/state machinery),
+    # multimodal (Arrow batch path), and the bases of this round's new
+    # ops (p02 minhash, p27 CDC twin, p09 components).  The 23 deferred
+    # r4 entries (p03-p05, p07/p08, p12/p14/p15, p17/p19/p21-p23,
+    # s03/s05/s06, t03-t08/t10) are within the 3-round cadence and are
+    # r7's documented first claim on slots, alongside the 25 r3-latest.
+    "q03_shipping_priority",
+    "q05_local_volume",
+    "q25_large_orders",
+    "q28_nation_profit",
+    "p01_dedup_exact",
+    "p06_ann_bruteforce",
+    "p11_corpus_pipeline",
+    "p13_token_budget_pack",
+    "p16_dedup_minhash_capped",
+    "p20_tfidf_terms",
+    "s01_stream_tumbling",
+    "s02_stream_stateful_sessions",
+    "s04_stream_dedup",
+    "s07_stream_stream_join",
+    "s10_stream_session_window",
+    "m01_multimodal_meta",
+    "m02_frame_sample",
+    "m04_resize",
+    "m06_audio_windows",
+    "p27_cdc_upsert",
+    "p02_dedup_minhash",
+    "p09_dedup_clusters",
+    "t02_language_id",
+    "t13_ngram_containment",
 )
 
 

@@ -411,3 +411,18 @@ def test_x30_metrics_ride_the_main_pass(spark, sf_dir):
     # formatted explain names each node twice (tree line + detail
     # section) — one scan node means exactly two "Scan parquet" mentions
     assert s.count("Scan parquet") <= 2, s
+
+
+def test_x31_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """x31's whole point: the interval-overlap join must plan as a
+    bucket-keyed HASH (or sort-merge) equi-join with the interval bounds
+    as residual filters — never the BroadcastNestedLoopJoin a raw
+    inequality join degenerates to when both sides scale with the data
+    (x13's tiny-dim BNLJ is the documented exception, not this shape)."""
+    df = SPECS["x31_range_join_bucketed"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "NestedLoop" not in s, s
+    assert "CartesianProduct" not in s, s
+    assert any(
+        j in s for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), s

@@ -20,16 +20,21 @@ from sqlrs_spark.registry import DRIVER_WINDOW, all_specs
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _latest_round_keys() -> set[str]:
-    """Keys of the most recent driver CORRECTNESS artifact (green or not:
-    a red row still proves the query was in the hard gate — the per-row
-    status is the judge's concern, windowing is ours)."""
-    paths = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-    keys: set[str] = set()
-    for p in paths[-2:]:  # last two rounds: complementary windows
+def _artifact_rounds() -> tuple[dict[str, int], int]:
+    """(latest round holding a row per query, max artifact round R).
+
+    A row counts green or not — a red row still proves the query was in
+    the hard gate; the per-row status is the judge's concern, windowing
+    is ours."""
+    latest: dict[str, int] = {}
+    max_round = 0
+    for p in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(p.rsplit("_r", 1)[1].split(".")[0])
+        max_round = max(max_round, rnd)
         with open(p) as f:
-            keys |= set(json.load(f))
-    return keys
+            for k in json.load(f):
+                latest[k] = max(latest.get(k, 0), rnd)
+    return latest, max_round
 
 
 def test_window_names_exist_and_unique():
@@ -46,27 +51,60 @@ def test_window_is_the_dict_prefix():
     assert len(names) == len(set(names))
 
 
-def test_pipeline_families_have_recent_driver_rows():
+# --- staleness cadence (round-6 reformulation) ---------------------------
+#
+# 145 registry entries, 50 window slots/round: universal re-verification
+# every round is arithmetically impossible, so the lints enforce a CADENCE
+# instead: pipeline/bench entries (the flagship surface and everything the
+# scale artifacts time) re-verify every <=3 rounds, everything else every
+# <=4 (VERDICT r5 #1's max-staleness lint).  Steady-state slot demand:
+# ~73/3 + ~72/4 ~= 42 of 50 — satisfiable, with headroom for new ops and
+# rewritten-entry rotations.
+#
+# Firing semantics: with R = the newest artifact round and L = a
+# non-window entry's latest row, the thresholds (L >= R-2 pipeline,
+# L >= R-3 global) are the loosest that hold both while round R+1 is
+# being built AND in the judge's post-artifact tree — so an entry at the
+# cadence boundary (pipeline L = R-2) passes the lint during curation and
+# the lint fires one round LATER if curation missed it.  The lint is the
+# hard backstop; the schedule itself lives in registry.py's curation
+# comment (each round's window names the next round's first claims).
+
+
+def test_pipeline_and_bench_on_three_round_cadence():
     specs = all_specs()
-    pipeline = {
+    tracked = {
         n
-        for n in specs
-        if n[0] in "ptms" and n[1].isdigit()  # p01.., t01.., m01.., s01..
+        for n, s in specs.items()
+        if s.bench or (n[0] in "ptms" and n[1].isdigit())  # p01.., t01.., m01.., s01..
     }
-    covered = set(DRIVER_WINDOW) | _latest_round_keys()
-    outside = pipeline - covered
-    assert not outside, f"pipeline queries with no recent driver row: {outside}"
+    latest, r = _artifact_rounds()
+    stale = {
+        n: latest.get(n, 0)
+        for n in tracked - set(DRIVER_WINDOW)
+        if latest.get(n, 0) < r - 2
+    }
+    assert not stale, (
+        f"pipeline/bench queries past the 3-round verification cadence "
+        f"(latest artifact r{r}): {stale}"
+    )
 
 
-def test_bench_queries_have_recent_driver_rows():
-    # VERDICT r2 polish item: benching a query the hard gate has never
-    # seen is backwards — every bench-flagged query must be in the
-    # current window or have a row in a recent CORRECTNESS artifact
+def test_no_registry_entry_staler_than_four_rounds():
+    # VERDICT r5 #1: the r1-evidence tail must never re-accrue — EVERY
+    # registry entry is either in the current window (pending a fresh row)
+    # or holds a row no older than R-3
     specs = all_specs()
-    bench = {n for n, s in specs.items() if s.bench}
-    covered = set(DRIVER_WINDOW) | _latest_round_keys()
-    outside = bench - covered
-    assert not outside, f"bench queries with no recent driver row: {outside}"
+    latest, r = _artifact_rounds()
+    stale = {
+        n: latest.get(n, 0)
+        for n in set(specs) - set(DRIVER_WINDOW)
+        if latest.get(n, 0) < r - 3
+    }
+    assert not stale, (
+        f"registry entries past the 4-round verification cadence "
+        f"(latest artifact r{r}): {stale}"
+    )
 
 
 def test_window_outputs_are_driver_canonicalizable(spark, sf_dir):
