@@ -324,6 +324,14 @@ def measured_join_strategy(
     shape.  Probing a measured-broadcast map at ~15-16s IS the plain
     floor on this box; deployments that need q03 faster pay for the
     bucketed layout (9-10s via the SHJ tier above).
+
+    BUCKETED TIER CLOSED (round 6, tools/exp_q03_fpp.py — r5 verdict
+    #6's last unmeasured idea): tightening the SHJ tier's bloom is
+    strictly worse (9.1s at fpp 0.05 vs 14.3s at 0.01 vs 17.4s at
+    0.003) — the bigger array leaves cache and k rises 4 -> 7 -> 8
+    probes charged on EVERY fact row, while q03's probe survivors are
+    overwhelmingly real matches.  fpp 0.05 stays the default
+    (spark.sqlrs.bloomPrefilter.fpp).
     """
     spark = reduction.sparkSession
     limit = max_rows or int(
@@ -355,7 +363,7 @@ def bloom_prefilter(
     reduction: DataFrame,
     key: str,
     probe: Column,
-    fpp: float = 0.05,
+    fpp: float | None = None,
     max_items: int | None = None,
 ) -> Column | None:
     """Bloom-filter predicate over ``probe`` built from ``reduction[key]``
@@ -402,6 +410,16 @@ def bloom_prefilter(
     limit = max_items or int(
         spark.conf.get("spark.sqlrs.bloomPrefilter.maxItems", "30000000")
     )
+    # default fpp measured at the 1000x replica on bucketed q03 (r5
+    # verdict #6, tools/exp_q03_fpp.py): tighter filters are strictly
+    # WORSE — 9.1s at 0.05 vs 14.3s at 0.01 vs 17.4s at 0.003.  The
+    # bigger bit array falls out of cache and k grows 4 -> 7 -> 8 probes
+    # per row, which costs far more across every fact row than the false
+    # positives it removes (q03's survivors are overwhelmingly REAL
+    # matches).  Conf-tunable for deployments with ultra-selective
+    # reductions, but 0.05 is the measured optimum here.
+    if fpp is None:
+        fpp = float(spark.conf.get("spark.sqlrs.bloomPrefilter.fpp", "0.05"))
     app = spark.sparkContext.applicationId
     # the measured memo supplies (persisted frame, row count) — keyed by
     # input-df semantics, which is exactly what callers pass here

@@ -89,6 +89,14 @@ def q01_pricing_summary(spark, sf_dir):
     Money sums run in exact integer cents (see the oracle note above):
     long-typed partial aggregates, split-radix recombination for the wide
     sum_charge term, identical FLOOR/divide sequences in both engines.
+
+    Round-6 floor declaration (tools/exp_q01.py, r5 verdict #3): this
+    plan measures 3.8s fresh-process at the 1000x replica (~1.18x
+    DuckDB's 3.2s) — BENCH1000X_r05's 10.3s was mid-sweep page-cache
+    competition, not a plan gap.  Measured negatives on file there:
+    single-DECIMAL(38,0) charge sum 5.7s (decimal partials lose to two
+    extra bigint columns), pre-projected product 4.0s (Catalyst already
+    CSEs it).
     """
     li = t(spark, sf_dir, "lineitem")
     cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
@@ -478,19 +486,34 @@ def q05_plan(spark, sf_dir, orders_src=None, li_src=None):
     li = (li_src if li_src is not None else t(spark, sf_dir, "lineitem")).select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    # supplier is ~1% of the fact at any SF — measured (not pinned): AQE's
-    # static estimate sits past the byte threshold at the big replicas and
-    # planned a shuffle of the ordc-surviving lineitem rows on suppkey; the
-    # measured frame broadcasts while it fits the 30M-row ceiling, beyond
-    # which the suppkey shuffle returns (the 100 TB degradation path).
-    supp = measured_broadcast(
-        t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    )
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nat_asia = nation.join(
         F.broadcast(region), nation.n_regionkey == region.r_regionkey
     ).select("n_nationkey", "n_name")
+    # The supplier side joins as the ASIA-ONLY map (1/5 of supplier) with
+    # n_name pre-attached, instead of the full supplier map plus a third
+    # nation join — round-6 measurement (tools/exp_q05.py, best-of across
+    # separate pre-warmed JVMs at the 1000x replica): identical on the
+    # plain layout (10.4-12.0s vs 10.6-12.1s) but 11.8 -> 9.6s through
+    # the orderkey-bucketed layout.  Measured NEGATIVE, same harness:
+    # flipping probe ORDER (ASIA-supplier semi-join on the full fact
+    # BEFORE the ordc probe, variant "semi") costs 19.2s vs 12.1s — an
+    # extra broadcast-probe stage over the unreduced 600M-row fact costs
+    # ~7s regardless of map size, so the most-selective-probe-first order
+    # stands.  Bottleneck decomposition on file there too: 4-column scan
+    # floor 2.0s; the ~8s above it is the fused probe pipeline itself
+    # (fully whole-stage-codegen'd, verified in the final AQE plan), not
+    # the exchange (bucketed: -1s), not map residency (semi2's 200k-entry
+    # map ties the 9M-entry map on plain) — the remaining gap to DuckDB
+    # (~3.3s) is per-row join-pipeline cost, an engine constant on this
+    # box, not a plan defect.
+    supp = measured_broadcast(
+        t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nat_asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
     # ASIA keeps 1/5 of customer — (custkey, nationkey) longs under the
     # measured ceiling at the tested replicas, so producing ordc below
     # costs zero exchanges (orders probes this broadcast); over the
@@ -534,10 +557,6 @@ def q05_plan(spark, sf_dir, orders_src=None, li_src=None):
             supp,
             (li.l_suppkey == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(
-            F.broadcast(nat_asia),
-            F.col("s_nationkey") == nat_asia.n_nationkey,
         )
         .select("n_name", rev_cents().alias("rev_c"))
         .groupBy("n_name")
