@@ -603,3 +603,108 @@ def v14_gzip_jsonl_source(spark, sf_dir):
         .orderBy("lang"),
         root,
     )
+
+
+@register(
+    "v15_corrupt_csv",
+    # the oracle states the malformed-row semantics directly over the
+    # source rows the CSV was rendered from: a row is corrupt iff its
+    # acct field was written unparseable (c_custkey % 7 = 0), clean rows
+    # keep their exact cents value — so the driver hash proves the
+    # PERMISSIVE read classified and null-filled EXACTLY those rows
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CASE WHEN c_custkey % 7 <> 0
+                         THEN CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                    END) AS BIGINT) AS clean_cents,
+           CAST(SUM(CASE WHEN c_custkey % 7 = 0 THEN c_custkey END) AS BIGINT)
+             AS corrupt_key_sum
+    FROM customer
+    """,
+    tags=("statement", "source", "csv", "robustness"),
+)
+def v15_corrupt_csv(spark, sf_dir):
+    """Malformed-record CSV ingestion: the three Spark reader modes over a
+    shard with unparseable rows — the ingest reality of external corpora
+    (a 100 TB crawl drop always carries rows that don't parse; a reader
+    that aborts the job on row 3 billion, or silently drops rows with no
+    audit trail, is operationally useless).
+
+    A CSV is rendered from ``customer`` with every ``c_custkey % 7 = 0``
+    row carrying an unparseable acct field ('N/A' in a BIGINT column).
+    The PERMISSIVE read null-fills the bad field, keeps the parseable
+    columns of the same row (corrupt_key_sum proves the keys of corrupt
+    rows survive), and captures the raw line in ``_corrupt`` for the
+    quarantine audit; FAILFAST on the same shard must raise, and
+    DROPMALFORMED must count exactly n_rows - n_corrupt (both asserted
+    in-plan below).  Beyond-reference: the reference CSV reader has no
+    malformed-row policy (src/storage/csv.rs parses trusting arrow);
+    this extends the §2.1 source family (v04 is the clean-CSV twin).
+
+    Scale shape: classification is per-row in the scan itself (no extra
+    pass, no shuffle until the audit aggregate); the corrupt-row audit
+    table is a filter over the same scan.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    rendered = cust.select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("N/A"))
+        .otherwise(
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint").cast("string")
+        )
+        .alias("acct_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="sqlrs_badcsv_")
+    out = os.path.join(root, "customer_csv")
+    rendered.write.mode("overwrite").option("header", "true").csv(out)
+
+    schema = "c_custkey bigint, c_name string, acct_cents bigint, _corrupt string"
+    read = lambda mode: (  # noqa: E731
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    permissive = read("PERMISSIVE").cache()
+    # Mode contract, asserted on the same shard.  The probes aggregate the
+    # TYPED bad column on purpose: a count() prunes every column, the CSV
+    # parser then never attempts the failing cast, and neither mode
+    # triggers (measured: FAILFAST.count() returns happily) — the same
+    # pruning that makes clean scans fast makes malformedness lazy.
+    try:
+        read("FAILFAST").agg(F.sum("acct_cents")).collect()
+        raise AssertionError("FAILFAST accepted a malformed shard")
+    except AssertionError:
+        raise
+    except Exception as e:  # expected: malformed-record abort
+        msg = str(e).upper()
+        assert "MALFORMED" in msg or "FAILFAST" in msg, e
+    n_total = permissive.count()
+    n_corrupt = permissive.filter(F.col("_corrupt").isNotNull()).count()
+    # … and DROPMALFORMED silently keeps exactly the clean rows
+    n_kept = (
+        read("DROPMALFORMED")
+        .agg(F.count("c_custkey"), F.sum("acct_cents"))
+        .collect()[0][0]
+    )
+    assert n_kept == n_total - n_corrupt, (n_kept, n_total, n_corrupt)
+
+    out = materialize_then_rm(
+        permissive.agg(
+            F.count("*").alias("n_rows"),
+            F.sum((F.col("_corrupt").isNotNull()).cast("bigint")).alias("n_corrupt"),
+            F.sum(
+                F.when(F.col("_corrupt").isNull(), F.col("acct_cents"))
+            ).cast("bigint").alias("clean_cents"),
+            F.sum(
+                F.when(F.col("_corrupt").isNotNull(), F.col("c_custkey"))
+            ).cast("bigint").alias("corrupt_key_sum"),
+        ),
+        root,
+    )
+    permissive.unpersist()
+    return out

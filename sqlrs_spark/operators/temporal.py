@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from sqlrs_spark.functions.hashing import md5int_duck
+from sqlrs_spark.functions.hashing import h31_duck, md5int_duck
 from sqlrs_spark.operators.common import epoch_us, packed_minmax, t, unpack_id
 from sqlrs_spark.registry import register
 
@@ -369,3 +369,228 @@ def p29_snapshot_diff(spark, sf_dir):
         )
         .orderBy("change_type", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# x32 — SCD Type-2 dimension build (full version history from a changelog)
+# ---------------------------------------------------------------------------
+
+_X32_ORACLE = """
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       event_id,
+       event_type AS attr,
+       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       CAST(epoch_us(LEAD(ts) OVER w) AS BIGINT) AS valid_to_us,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+"""
+
+
+@register("x32_scd2_history", oracle=_X32_ORACLE, tags=("extension", "temporal", "cdc"))
+def x32_scd2_history(spark, sf_dir):
+    """SCD Type-2 dimension build: the FULL version history p27's
+    final-state MERGE discards.  Each change event opens a version row
+    with ``valid_from = ts`` and ``valid_to = next change's ts`` (NULL on
+    the open/current version) — the standard warehouse shape for
+    point-in-time joins ("what was this user's state when the order
+    shipped?").  Beyond-reference: the reference engine is append-only
+    with no update concept (SURVEY §4); this completes the CDC family
+    (p27 latest-state, p29 snapshot diff, s11 streaming apply, x32 full
+    history).
+
+    Spark-first plan: ONE window per key — ``lead(ts)`` closes each
+    version and ``row_number`` numbers it in the same (user_id; ts,
+    event_id) sort, so Catalyst fuses both into a single Window operator
+    over a single hash-partition exchange.  No self-join against "the
+    next change" (the naive formulation shuffles the changelog twice and
+    explodes on hot keys); at 100 TB the cost is one changelog shuffle,
+    skew bounded by the hottest single key, same as x12/x10.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            F.row_number().over(w).cast("bigint").alias("version"),
+            "event_id",
+            F.col("event_type").alias("attr"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("value_cents"),
+            epoch_us("ts").alias("valid_from_us"),
+            epoch_us(nxt).alias("valid_to_us"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x33 — interval-union length (sweep-line coverage per key)
+# ---------------------------------------------------------------------------
+
+#: each event opens a 30-minute activity interval; overlaps within a user
+#: must be merged BEFORE summing — the union-of-intervals measure that a
+#: plain SUM(duration) double-counts
+_X33_SPAN_US = 30 * 60 * 1_000_000
+
+_X33_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS s,
+         CAST(epoch_us(ts) AS BIGINT) + {_X33_SPAN_US} AS e
+  FROM events
+),
+sweep AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_e
+  FROM iv
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(CASE WHEN prev_max_e IS NULL OR prev_max_e < s THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blocks,
+       CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(prev_max_e, s)), 0))
+            AS BIGINT) AS covered_us
+FROM sweep
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("x33_interval_union", oracle=_X33_ORACLE, tags=("extension", "temporal"))
+def x33_interval_union(spark, sf_dir):
+    """Interval-union coverage: per user, the total time covered by the
+    union of that user's activity intervals (event ts + 30 min), with
+    overlapping intervals merged — "how long was the user actually
+    active", the measure a plain SUM(duration) double-counts.  Also
+    emits the merged-block count (distinct activity bursts).
+
+    Spark-first plan: the classic sweep-line as ONE window pass — sort
+    intervals per key, carry the running MAX of all PREVIOUS interval
+    ends (frame: unbounded preceding .. 1 preceding), and each row
+    contributes ``max(0, e - max(s, prev_max_e))`` new covered time; a
+    row whose start clears the running max opens a new merged block.
+    No interval self-join (the naive overlap-merge is O(pairs) and
+    explodes on dense keys); one shuffle on user_id, integer-exact
+    microsecond arithmetic, then a hash agg on the same key — Catalyst
+    plans the window and the agg on one exchange.  Beyond-reference:
+    completes the interval family (x13/x31 join intervals, x33
+    measures their union).
+    """
+    iv = t(spark, sf_dir, "events").select(
+        "user_id",
+        epoch_us("ts").alias("s"),
+        (epoch_us("ts") + F.lit(_X33_SPAN_US)).alias("e"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    sweep = iv.withColumn("prev_max_e", F.max("e").over(w))
+    new_block = F.when(
+        F.col("prev_max_e").isNull() | (F.col("prev_max_e") < F.col("s")), 1
+    ).otherwise(0)
+    gain = F.greatest(
+        F.col("e") - F.greatest(F.col("s"), F.coalesce("prev_max_e", "s")),
+        F.lit(0),
+    )
+    return (
+        sweep.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum(new_block).cast("bigint").alias("n_blocks"),
+            F.sum(gain).cast("bigint").alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p34 — incremental aggregate maintenance (materialized-view merge)
+# ---------------------------------------------------------------------------
+
+_P34_ORACLE = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM({{h31}}) AS BIGINT) AS text_digest,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "p34_incremental_agg",
+    oracle=_P34_ORACLE.format(h31=h31_duck("text")),
+    tags=("pipeline", "temporal", "maintenance"),
+)
+def p34_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance: the per-source corpus dashboard
+    (doc/token counts, content digest, id high-water mark) kept up to
+    date by MERGING a stored aggregate state with the aggregate of a new
+    delta batch — never rescanning the full corpus.  The oracle is the
+    FULL recompute over all documents, so the driver hash proves
+    merge(state(old), agg(delta)) == agg(old ∪ delta) — the algebraic
+    property every warehouse MV maintenance engine rests on (all four
+    statistics are commutative monoids: counts/sums add, max takes max).
+
+    Spark-first shape: the base state (doc_id % 10 != 0 here) is
+    aggregated ONCE and written to parquet — standing in for the stored
+    MV a production pipeline reads back; the per-ingest cost is then
+    agg(delta) + a |sources|-row merge join, so a daily batch against a
+    100 TB corpus costs one delta scan, not a corpus scan.  The merge is
+    a full-outer join on the group key (new sources appear, quiet
+    sources persist), coalesced monoid-wise.  Beyond-reference
+    (SURVEY §4: the reference recomputes every query from base tables);
+    completes the maintenance family (p27/s11 maintain row state, p34
+    maintains aggregate state).
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from sqlrs_spark.functions.hashing import h31_spark
+    from sqlrs_spark.operators.common import materialize_then_rm
+
+    docs = t(spark, sf_dir, "documents")
+
+    def agg_state(df):
+        return df.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+            F.sum(F.expr(h31_spark("text"))).cast("bigint").alias("text_digest"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+
+    root = _tempfile.mkdtemp(prefix="sqlrs_mv_")
+    state_path = _os.path.join(root, "state")
+    agg_state(docs.filter(F.col("doc_id") % 10 != 0)).write.parquet(state_path)
+
+    base = spark.read.parquet(state_path).alias("b")
+    delta = agg_state(docs.filter(F.col("doc_id") % 10 == 0)).alias("d")
+    zero = F.lit(0).cast("bigint")
+    merged = base.join(delta, "source", "full_outer").select(
+        "source",
+        (F.coalesce("b.n_docs", zero) + F.coalesce("d.n_docs", zero)).alias("n_docs"),
+        (F.coalesce("b.n_tokens", zero) + F.coalesce("d.n_tokens", zero)).alias(
+            "n_tokens"
+        ),
+        (F.coalesce("b.text_digest", zero) + F.coalesce("d.text_digest", zero)).alias(
+            "text_digest"
+        ),
+        F.greatest(
+            F.coalesce("b.max_doc_id", F.lit(-(2**62))),
+            F.coalesce("d.max_doc_id", F.lit(-(2**62))),
+        ).alias("max_doc_id"),
+    )
+    return materialize_then_rm(merged.orderBy("source"), root)

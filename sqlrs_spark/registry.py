@@ -72,6 +72,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "p32_source_overlap_matrix",
     "t15_token_concentration",
     "x31_range_join_bucketed",
+    # (a') NEW mid-round-6 operators — first-ever driver rows: SCD2 full
+    # version history, sweep-line interval-union coverage, malformed-CSV
+    # ingestion modes, incremental MV-merge maintenance.  They take the
+    # four cadence-fill slots p02/p09/t02/t13 held (those keep their r4
+    # rows — within the 3-round cadence until r7, where they are already
+    # part of the documented first claim):
+    "x32_scd2_history",
+    "x33_interval_union",
+    "v15_corrupt_csv",
+    "p34_incremental_agg",
     # (b) rewritten since its latest row (the rewritten=>re-verify lint):
     # s11_plan split into s11_emitted/s11_finalize for the recovery test
     "s11_stream_cdc_apply",
@@ -129,10 +139,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "m04_resize",
     "m06_audio_windows",
     "p27_cdc_upsert",
-    "p02_dedup_minhash",
-    "p09_dedup_clusters",
-    "t02_language_id",
-    "t13_ngram_containment",
 )
 
 
