@@ -702,3 +702,133 @@ def p24_embedding_quant(spark, sf_dir):
     asymmetric-distance vectors)."""
     register_views(spark, sf_dir, ("embeddings",))
     return spark.sql(_p24(True))
+
+
+# ---------------------------------------------------------------------------
+# p35 — product-quantization ANN (PQ encode + ADC lookup-table scoring)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces (64 dims -> 8 sub-vectors of 8)
+_PQ_K = 16  # codes per subspace (-> 4 bits/code, 8 bytes per vector)
+_PQ_CAND = 32  # ADC candidate pool reranked exactly
+_PQ_SCALE = 1_000_000  # the p18 integer grid: exact in both engines
+
+
+def _p35(spark_dialect: bool) -> str:
+    """Dual-dialect builder for PQ-compressed ANN search.
+
+    Product quantization (Jégou et al., PAMI 2011) — the memory side of
+    the ANN story p07/p08/p18 don't cover: the corpus is stored as
+    M=8 four-bit codes (8 B/vector instead of 256 B of floats, 32x), and
+    queries score candidates WITHOUT touching original vectors via an
+    asymmetric-distance (ADC) lookup table; only the top-32 pool is
+    reranked with exact cosines.  Codebooks here are frozen sub-vectors
+    of the first 16 corpus ids (the p08 frozen-quantizer stance —
+    production trains them offline; p18 already proves the trained-
+    quantizer path), and all PQ arithmetic runs on the p18 integer grid
+    (FLOOR(x*1e6)) in BIGINT squared-L2, so encode, LUT and ADC sums are
+    bit-exact in both engines — the only floats are the rerank cosines,
+    which reuse p06's fold.
+
+    Scale shape: encode = one 128-row codebook broadcast + a hash-agg
+    argmin (packed dist*16+k — no window); LUT = |Q|x128 rows, broadcast;
+    ADC = one map-side-combinable SUM over an (m, code) equi-join — the
+    corpus side moves (vec_id, m, code) longs only; candidate top-32 is
+    one narrow shuffle on query_id; exact rerank touches 32x|Q| vectors.
+    """
+    if spark_dialect:
+        v = "transform(embedding, x -> cast(x as double))"
+        vq = (
+            "transform(embedding, x -> "
+            f"cast(floor(cast(x as double) * {_PQ_SCALE}) as bigint))"
+        )
+        ms = "LATERAL VIEW explode(sequence(0, {hi})) mx AS m"
+        sub = "slice({a}, m * 8 + 1, 8)"
+        isqd = (
+            "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as bigint), (acc, p) -> acc + p)"
+        )
+    else:
+        v = "embedding::DOUBLE[]"
+        vq = f"list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * {_PQ_SCALE}) AS BIGINT))"
+        ms = ", (SELECT unnest(range(0, {hi} + 1)) AS m) mx"
+        sub = "{a}[m * 8 + 1 : m * 8 + 8]"
+        isqd = (
+            "CAST(list_sum(list_transform(range(1, 9), "
+            "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+        )
+    nrm = _dot("v", "v", spark_dialect)
+    cos = f"{_dot('q.v', 'n.v', spark_dialect)} / sqrt(q.nrm * n.nrm)"
+    m_all = ms.format(hi=_PQ_M - 1)
+    return f"""
+WITH e AS (
+  SELECT vec_id, v, {nrm} AS nrm, vq
+  FROM (SELECT vec_id, {v} AS v, {vq} AS vq FROM embeddings) base
+),
+cb AS (
+  SELECT m, k, {sub.format(a='vq')} AS cbv
+  FROM (SELECT vec_id, vq,
+               ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k
+        FROM (SELECT vec_id, vq FROM e ORDER BY vec_id LIMIT {_PQ_K}) f16) fk
+  {m_all}
+),
+enc AS (
+  SELECT vec_id, m,
+         CAST(MIN(d * {_PQ_K} + k) % {_PQ_K} AS BIGINT) AS code
+  FROM (
+    SELECT s.vec_id, s.m, cb.k, {{isqd_sc}} AS d
+    FROM (SELECT vec_id, m, {sub.format(a='vq')} AS sv FROM e {m_all}) s
+    JOIN cb ON cb.m = s.m
+  ) scored
+  GROUP BY vec_id, m
+),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.m, cb.k, {{isqd_lut}} AS ld
+  FROM (SELECT vec_id, m, {sub.format(a='vq')} AS sv FROM e {m_all}) q
+  JOIN cb ON cb.m = q.m
+  WHERE q.vec_id < {_N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, enc.vec_id AS neighbor_id,
+         CAST(SUM(l.ld) AS BIGINT) AS adc_dist
+  FROM enc
+  JOIN lut l ON l.m = enc.m AND l.k = enc.code
+  WHERE enc.vec_id <> l.query_id
+  GROUP BY l.query_id, enc.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS crank
+  FROM adc
+),
+rerank AS (
+  SELECT c.query_id, c.neighbor_id, c.adc_dist, {cos} AS cosine
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e n ON n.vec_id = c.neighbor_id
+  WHERE c.crank <= {_PQ_CAND}
+)
+SELECT query_id, neighbor_id, adc_dist, cosine, rank
+FROM (
+  SELECT query_id, neighbor_id, adc_dist, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rerank
+) final
+WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+""".format(
+        isqd_sc=isqd.format(a="s.sv", b="cb.cbv"),
+        isqd_lut=isqd.format(a="q.sv", b="cb.cbv"),
+    )
+
+
+@register("p35_pq_ann", oracle=_p35(False), tags=("pipeline", "similarity"))
+def p35_pq_ann(spark, sf_dir):
+    """Product-quantization ANN: PQ-encode the corpus to 8x4-bit codes,
+    score queries through an ADC lookup table in exact BIGINT grid
+    arithmetic, rerank the top-32 pool with exact cosines (see _p35).
+    Recall vs the exact baseline is gated in tests/test_ann_quality.py."""
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(_p35(True))

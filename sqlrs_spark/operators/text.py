@@ -1133,3 +1133,115 @@ def t15_token_concentration(spark, sf_dir):
     tokens capture, in exact ppm."""
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_t15(True))
+
+
+# ---------------------------------------------------------------------------
+# p33 — repeated-span scrubbing (cross-doc boilerplate REMOVAL, not scoring)
+# ---------------------------------------------------------------------------
+
+_P33_NG = 5  # span length (tokens)
+_P33_T = 3  # a span is boilerplate when >= this many distinct docs carry it
+
+
+def _p33(spark_dialect: bool) -> str:
+    """Dual-dialect builder for cross-document repeated-span scrubbing.
+
+    t10/t11 SCORE how much of a document is shared; p33 performs the
+    TRANSFORMATION the curation pipeline actually wants: remove every
+    token covered by any 5-token span that appears in >= 3 distinct
+    documents (headers, navigation chrome, license blocks), and emit the
+    scrubbed text's digest plus removal counts — the exact-substring
+    dedup pass of a pretraining pipeline, at span granularity.
+
+    Scale shape: span hashes are 60-bit longs map-side (the t10/t11
+    discipline — no gram text ever shuffles); the frequent-span set is
+    corpus-bounded (GROUP BY hash HAVING >= T) and joins back to start
+    positions by hash equi-join; per-token coverage is a per-doc window
+    (``MAX(flag) OVER (ROWS 4 PRECEDING..CURRENT)``) — no position
+    range-join; reassembly is an ordered string aggregate per doc.  Two
+    narrow shuffles (hash-count, doc window) + one equi-join.
+    """
+    from sqlrs_spark.functions.hashing import md5int_duck, md5int_spark
+
+    ng, t_ = _P33_NG, _P33_T
+    if spark_dialect:
+        toks = "split(text, ' ')"
+        gram = md5int_spark(f"concat_ws(' ', slice(tk, i, {ng}))")
+        starts_src = (
+            f"SELECT doc_id, i, {gram} AS g FROM toks"
+            f" LATERAL VIEW explode(sequence(1, size(tk) - {ng - 1})) sx AS i"
+            f" WHERE size(tk) >= {ng}"
+        )
+        tokpos_src = (
+            "SELECT doc_id, pos + 1 AS i, tok FROM toks"
+            " LATERAL VIEW posexplode(tk) tp AS pos, tok"
+        )
+        kept_agg = (
+            "string_agg(CASE WHEN covered = 0 THEN tok END, ' ')"
+            " WITHIN GROUP (ORDER BY i)"
+        )
+        digest = md5int_spark("COALESCE(kept, '')")
+    else:
+        toks = "string_split(text, ' ')"
+        gram = md5int_duck(f"array_to_string(tk[i:i+{ng - 1}], ' ')")
+        starts_src = (
+            f"SELECT doc_id, unnest(range(1, len(tk) - {ng - 2})) AS i,"
+            f" unnest(list_transform(range(1, len(tk) - {ng - 2}), i -> {gram})) AS g"
+            f" FROM toks WHERE len(tk) >= {ng}"
+        )
+        tokpos_src = (
+            "SELECT doc_id, unnest(range(1, len(tk) + 1)) AS i,"
+            " unnest(tk) AS tok FROM toks"
+        )
+        kept_agg = "string_agg(CASE WHEN covered = 0 THEN tok END, ' ' ORDER BY i)"
+        digest = md5int_duck("COALESCE(kept, '')")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS tk FROM documents WHERE text IS NOT NULL
+),
+starts AS (
+  {starts_src}
+),
+freq AS (
+  SELECT g FROM starts GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {t_}
+),
+fstart AS (
+  SELECT s.doc_id, s.i FROM starts s JOIN freq f ON s.g = f.g
+),
+tokpos AS (
+  {tokpos_src}
+),
+cov AS (
+  SELECT t.doc_id, t.i, t.tok,
+         MAX(CASE WHEN fs.i IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY t.doc_id ORDER BY t.i
+                 ROWS BETWEEN {ng - 1} PRECEDING AND CURRENT ROW) AS covered
+  FROM tokpos t
+  LEFT JOIN fstart fs ON t.doc_id = fs.doc_id AND t.i = fs.i
+),
+agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         SUM(covered) AS n_removed,
+         {kept_agg} AS kept
+  FROM cov GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_removed AS BIGINT) AS n_removed,
+       CAST({digest} AS BIGINT) AS kept_digest,
+       n_removed > 0 AS changed
+FROM agg
+ORDER BY doc_id
+"""
+
+
+@register("p33_span_scrub", oracle=_p33(False), tags=("pipeline", "text", "dedup"))
+def p33_span_scrub(spark, sf_dir):
+    """Cross-document repeated-span scrubbing (see _p33): REMOVE every
+    token covered by a 5-token span shared by >= 3 documents and emit
+    the scrubbed text's digest — the transformation twin of t10/t11's
+    boilerplate scores.  Beyond-reference: extends the pipeline dedup
+    family with span-granular exact-substring removal."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_p33(True))

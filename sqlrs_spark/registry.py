@@ -74,14 +74,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x31_range_join_bucketed",
     # (a') NEW mid-round-6 operators — first-ever driver rows: SCD2 full
     # version history, sweep-line interval-union coverage, malformed-CSV
-    # ingestion modes, incremental MV-merge maintenance.  They take the
-    # four cadence-fill slots p02/p09/t02/t13 held (those keep their r4
-    # rows — within the 3-round cadence until r7, where they are already
-    # part of the documented first claim):
+    # ingestion modes, incremental MV-merge maintenance, cross-doc
+    # repeated-span scrubbing, PQ-compressed ANN.  They take the six
+    # cadence-fill slots p02/p09/t02/t13/m02/m04 held (those keep their
+    # r4 rows — within the 3-round cadence until r7, where they are
+    # already part of the documented first claim):
     "x32_scd2_history",
     "x33_interval_union",
     "v15_corrupt_csv",
     "p34_incremental_agg",
+    "p33_span_scrub",
+    "p35_pq_ann",
     # (b) rewritten since its latest row (the rewritten=>re-verify lint):
     # s11_plan split into s11_emitted/s11_finalize for the recovery test
     "s11_stream_cdc_apply",
@@ -135,8 +138,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "s07_stream_stream_join",
     "s10_stream_session_window",
     "m01_multimodal_meta",
-    "m02_frame_sample",
-    "m04_resize",
     "m06_audio_windows",
     "p27_cdc_upsert",
 )

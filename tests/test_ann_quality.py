@@ -134,3 +134,12 @@ def test_kmeans_ivf_recall_on_clustered(spark, clustered_dir, exact_sets):
         _topk_sets(SPECS["p18_ann_ivf_kmeans"].fn(spark, clustered_dir)), exact_sets
     )
     assert r >= 0.7, f"k-means IVF mean recall@5 {r:.2f} < 0.7"
+
+
+def test_pq_recall_on_clustered(spark, clustered_dir, exact_sets):
+    # PQ scores through 8x4-bit codes + ADC, then exactly reranks a top-32
+    # pool: on clustered data the compressed distances must still surface
+    # the true neighbors into that pool (a code-assignment or LUT-join bug
+    # craters this toward the candidate fraction)
+    r = _mean_recall(_topk_sets(SPECS["p35_pq_ann"].fn(spark, clustered_dir)), exact_sets)
+    assert r >= 0.7, f"PQ-ADC mean recall@5 {r:.2f} < 0.7 (measured 0.84)"
