@@ -42,6 +42,13 @@ QUERIES = [
     # commute with any partitioning)
     "t12_unigram_lm_score",
     "t09_unicode_clean",
+    # round-6 additions: integer-grid PQ encode/ADC sums (p35 — argmin
+    # packing and BIGINT LUT sums must not depend on split shape), the
+    # ordered string_agg reassembly after a coverage window (p33), and
+    # the monoid MV merge whose base state is written then re-read (p34)
+    "p35_pq_ann",
+    "p33_span_scrub",
+    "p34_incremental_agg",
 ]
 
 

@@ -426,3 +426,45 @@ def test_x31_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
     assert any(
         j in s for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     ), s
+
+
+def test_x34_dynamic_partition_pruning(spark, sf_dir):
+    # the fact scan's partition selection must come from the DIM side at
+    # runtime: a dynamicpruning expression under the day-partitioned scan
+    # (static pruning is impossible — which days survive is only known
+    # after the dim's tag filter runs)
+    df = SPECS["x34_dynamic_partition_pruning"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "dynamicpruning" in s.lower(), s[:3000]
+
+
+def test_p33_no_cartesian_and_bounded_windows(spark, sf_dir):
+    # coverage is a per-doc window over the positions, never a positions x
+    # starts range join; the frequent-span join is an equi hash join
+    df = SPECS["p33_span_scrub"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "CartesianProduct" not in s and "BroadcastNestedLoop" not in s, s[:2000]
+
+
+def test_p35_adc_is_equi_join(spark, sf_dir):
+    # the ADC scoring join must be an (m, code) equi hash join — a
+    # nested-loop here would score every (query, vector, code) triple
+    df = SPECS["p35_pq_ann"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "CartesianProduct" not in s, s[:2000]
+
+
+def test_x32_single_window_pass(spark, sf_dir):
+    # lead() and row_number share one (user_id; ts, event_id) spec ->
+    # exactly one Window node, one hash-partition exchange below it
+    df = SPECS["x32_scd2_history"].fn(spark, sf_dir)
+    assert count_nodes(df, "Window") == 1
+    assert count_nodes(df, "Exchange") <= 2  # user_id shuffle + output sort
+
+
+def test_x33_window_and_agg_share_exchange(spark, sf_dir):
+    # the sweep-line window and the per-user aggregate both key on
+    # user_id -> one hash-partition exchange serves both
+    df = SPECS["x33_interval_union"].fn(spark, sf_dir)
+    assert count_nodes(df, "Window") == 1
+    assert count_nodes(df, "Exchange") <= 2

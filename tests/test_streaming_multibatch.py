@@ -115,3 +115,27 @@ def test_s11_multibatch_equals_singlebatch(spark, chunked_events_dir):
     multi = [tuple(r) for r in multi_df.collect()]
     assert multi == single
     assert len(multi) > 0
+
+
+def test_s12_multibatch_equals_singlebatch(spark, chunked_events_dir):
+    """s12's any-batching claim: with time-sliced arrival the watermark
+    advances BETWEEN batches, so the immutable-prefix finalization and
+    state pruning actually run mid-stream (single-batch never finalizes
+    — the watermark is still epoch 0 when the one data batch executes),
+    and the reduced emission log must still equal the single-batch run
+    row for row."""
+    from sqlrs_spark.streaming.ops import s12_plan
+
+    single = [tuple(r) for r in s12_plan(spark, SF).collect()]
+
+    chunked = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(chunked_events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    )
+    multi = [tuple(r) for r in s12_plan(spark, SF, ev_stream=chunked).collect()]
+    assert multi == single
+    assert len(multi) > 0

@@ -10,6 +10,7 @@ the same rows — count AND decimal-exact value sums would both show it.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import time
@@ -308,3 +309,133 @@ def test_session_window_state_survives_kill_and_restart(spark, chunked_events):
         assert len(q2.recentProgress) < 5
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(out_root, ignore_errors=True)
+
+
+# --- s12: streaming SCD2 version-history recovery --------------------------
+
+
+@pytest.fixture(scope="module")
+def time_chunked_events(spark, sf_dir):
+    """events as TIME-CONTIGUOUS small files with increasing mtimes
+    (FileStreamSource reads oldest-first): s12 declares a 2 h watermark,
+    so the random 8-way slicing multi_file_events uses would make early
+    rows arrive after the watermark passed them and get dropped — a
+    source-slicing artifact, not an operator property.  Contiguous
+    chunks keep every arrival on-time (the test_streaming_multibatch
+    fixture discipline)."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="sqlrs_s12_src_") + "/events"
+    schema = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp_ltz")
+    ).schema
+    n_chunks = 5
+    step = (len(rows) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        chunk = rows[i * step : (i + 1) * step]
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/chunk={i:02d}")
+        for root, _, files in os.walk(f"{d}/chunk={i:02d}"):
+            for fname in files:
+                os.utime(
+                    os.path.join(root, fname),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+    return d
+
+
+def _start_scd2(spark, src_dir, ckpt, out):
+    from sqlrs_spark.streaming.ops import s12_emitted
+
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+        .withWatermark("ts", "2 hours")
+    )
+    return (
+        s12_emitted(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _bid: df.write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def test_scd2_state_survives_kill_and_restart(spark, sf_dir, time_chunked_events):
+    """s12's GroupState (the unfinalized version-history suffix + the
+    finalized-count base) killed mid-stream and restarted from the same
+    checkpoint.  Lost state would silently RESTART version numbering
+    from 1 for keys whose prefix was already finalized and pruned —
+    diverging from the batch twin without any error.  The append-only
+    parquet emission log + s12_finalize's (is_final, n_seen) max absorb
+    replayed-batch duplicates, the operator's recovery contract."""
+    import shutil as _sh
+
+    from pyspark.sql.window import Window
+
+    from sqlrs_spark.streaming.ops import s12_finalize
+
+    ckpt = tempfile.mkdtemp(prefix="sqlrs_s12_ckpt_")
+    out_root = tempfile.mkdtemp(prefix="sqlrs_s12_out_")
+    out = out_root + "/emissions"
+
+    q1 = _start_scd2(spark, time_chunked_events, ckpt, out)
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        if len(q1.recentProgress) >= 2 or not q1.isActive:
+            break
+        time.sleep(0.2)
+    was_active = q1.isActive
+    q1.stop()
+    q1.awaitTermination()
+    batches_before = len(q1.recentProgress)
+
+    q2 = _start_scd2(spark, time_chunked_events, ckpt, out)
+    q2.awaitTermination()
+
+    recovered = sorted(
+        tuple(r) for r in s12_finalize(spark.read.parquet(out)).collect()
+    )
+    # batch twin, independent path: x32's window formulation on the same rows
+    ev = spark.read.option("recursiveFileLookup", "true").parquet(
+        time_chunked_events
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    twin = sorted(
+        tuple(r)
+        for r in ev.select(
+            "user_id",
+            F.row_number().over(w).cast("bigint").alias("version"),
+            "event_id",
+            F.col("event_type").alias("attr"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("value_cents"),
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("valid_from_us"),
+            F.unix_micros(nxt.cast("timestamp_ltz")).alias("valid_to_us"),
+            nxt.isNull().alias("is_current"),
+        ).collect()
+    )
+    assert recovered == twin, (
+        f"SCD2 history diverged after kill@batch{batches_before}"
+        f" (was_active={was_active}): {len(recovered)} vs {len(twin)} versions"
+    )
+    assert len(recovered) > 0
+    # restart must RESUME from checkpointed offsets: 5 chunks at 1
+    # file/trigger, phase 2 sees only the remainder
+    if was_active and batches_before >= 2:
+        assert len(q2.recentProgress) < 5
+    _sh.rmtree(ckpt, ignore_errors=True)
+    _sh.rmtree(out_root, ignore_errors=True)

@@ -86,3 +86,58 @@ def test_driver_docs_carry_no_language_signal(duck, oracle_sf_dir):
         """
     ).fetchone()
     assert hits == 0, "driver docs unexpectedly contain non-English function words"
+
+
+def test_p33_scrubs_exactly_the_planted_spans(spark, tmp_path):
+    """Closed-form pin for p33 beyond oracle parity: plant one 5-token
+    header shared by 4 documents (>= the 3-doc threshold) ahead of
+    unique bodies, plus one doc that IS the bare header.  Exactly the
+    header tokens must be removed — overlapping grams that straddle
+    header and body are unique per doc and must NOT extend the cut —
+    and the kept digest must equal md5int(body) (empty string for the
+    bare-header doc)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    header = "h0 h1 h2 h3 h4"
+    bodies = {
+        0: "a0 a1 a2 a3 a4 a5",
+        1: "b0 b1 b2 b3 b4 b5",
+        2: "c0 c1 c2 c3 c4 c5",
+        3: "d0 d1 d2 d3 d4 d5",
+    }
+    rows = {i: f"{header} {bodies[i]}" for i in range(4)}
+    rows[4] = header  # fully-boilerplate doc -> scrubbed to empty
+    for i in range(5, 10):  # unrelated docs, untouched
+        rows[i] = " ".join(f"u{i}_{j}" for j in range(8))
+    d = str(tmp_path / "p33")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(rows), pa.int64()),
+                "text": pa.array([rows[i] for i in sorted(rows)], pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+
+    def md5int(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    got = {
+        r["doc_id"]: r
+        for r in SPECS["p33_span_scrub"].fn(spark, d).collect()
+    }
+    for i in range(4):
+        assert got[i]["n_removed"] == 5, got[i]
+        assert got[i]["changed"] is True
+        assert got[i]["kept_digest"] == md5int(bodies[i]), i
+    assert got[4]["n_removed"] == 5 and got[4]["kept_digest"] == md5int("")
+    for i in range(5, 10):
+        assert got[i]["n_removed"] == 0 and got[i]["changed"] is False
+        assert got[i]["kept_digest"] == md5int(rows[i])
