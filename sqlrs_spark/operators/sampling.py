@@ -505,3 +505,72 @@ def p30_quality_budget_select(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# p36 — curriculum interleave ordering (global training schedule, no sort)
+# ---------------------------------------------------------------------------
+
+
+def _p36(spark_dialect: bool) -> str:
+    """Dual-dialect builder for the curriculum training-order schedule.
+
+    Orders the corpus quality-first WITHIN each source, then interleaves
+    sources round-robin into one global position key — the schedule a
+    curriculum-training run reads batches in: early positions are every
+    source's best documents, and no source ever clumps (the failure mode
+    of the naive `ORDER BY quality` global sort, which front-loads
+    whichever source happens to score high and starves the rest).
+
+    Scale shape: per-source quality rank is one window on the source
+    key; the source index is a |sources|-row broadcast; the global
+    position is ARITHMETIC — ``(rank-1) * n_sources + source_idx`` is
+    unique by construction — so no global sort, no single-partition
+    bottleneck, and a trainer can range-read any position slice.
+    Quality is integer-ppm type-token ratio (exact in both engines).
+    """
+    if spark_dialect:
+        ndist = "size(array_distinct(split(text, ' ')))"
+        ntok = "size(split(text, ' '))"
+        idiv = "DIV"
+    else:
+        ndist = "len(list_distinct(string_split(text, ' ')))"
+        ntok = "len(string_split(text, ' '))"
+        idiv = "//"
+    return f"""
+WITH q AS (
+  SELECT doc_id, source,
+         CAST((1000000 * {ndist}) {idiv} {ntok} AS BIGINT) AS quality_ppm
+  FROM documents WHERE text IS NOT NULL
+),
+ranked AS (
+  SELECT doc_id, source, quality_ppm,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality_ppm DESC, doc_id) AS rk
+  FROM q
+),
+srcidx AS (
+  SELECT source,
+         ROW_NUMBER() OVER (ORDER BY source) - 1 AS sidx,
+         COUNT(*) OVER () AS n_src
+  FROM (SELECT DISTINCT source FROM q) s
+)
+SELECT r.doc_id, r.source,
+       CAST(r.rk AS BIGINT) AS rank_in_source,
+       CAST((r.rk - 1) * s.n_src + s.sidx AS BIGINT) AS global_pos,
+       r.quality_ppm
+FROM ranked r JOIN srcidx s ON r.source = s.source
+ORDER BY global_pos
+"""
+
+
+@register("p36_curriculum_order", oracle=_p36(False), tags=("pipeline", "sampling"))
+def p36_curriculum_order(spark, sf_dir):
+    """Curriculum training-order schedule: quality-ranked within source,
+    round-robin interleaved across sources via arithmetic on the
+    per-source rank — a deterministic global ordering with no global
+    sort (see _p36)."""
+    from sqlrs_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_p36(True))

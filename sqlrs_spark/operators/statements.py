@@ -708,3 +708,80 @@ def v15_corrupt_csv(spark, sf_dir):
     )
     permissive.unpersist()
     return out
+
+
+@register(
+    "x34_dynamic_partition_pruning",
+    # the oracle restates the runtime-pruned join over the ORIGINAL rows:
+    # a day participates iff its md5-derived tag is 1 — the same
+    # derivation the dim table carries, computable in both engines
+    oracle="""
+    WITH tagged AS (
+      SELECT *, strftime(ts, '%Y-%m-%d') AS day FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM tagged
+    WHERE (('0x'||substr(md5(day),1,15))::BIGINT) % 5 = 1
+    """,
+    tags=("extension", "source", "join", "pruning"),
+)
+def x34_dynamic_partition_pruning(spark, sf_dir):
+    """Dynamic partition pruning: the fact's partition directories are
+    selected at RUNTIME by the dim side of a join — the scan cannot be
+    statically pruned (v11's case) because which days survive is only
+    known after the dim's filter runs.  At 100 TB this is the difference
+    between scanning a date-partitioned corpus wholesale and touching
+    only the partitions a (runtime-derived) calendar selection names:
+    Spark plans a DPP subquery that reuses the dim broadcast and injects
+    the surviving day list into the fact scan's PartitionFilters
+    (asserted in test_plans — `dynamicpruning` must appear under the
+    fact scan, with the partition count reduced).
+
+    Shape: events written day-partitioned (one shuffle on day, the v11
+    small-files discipline); a (day, tag) dim derived once and read back
+    from parquet so the tag filter is a real scan predicate, not a
+    foldable constant; the join aggregates only the ~1/5 of partitions
+    whose md5-derived tag is 1.  Beyond-reference (the reference scans
+    whole tables; SURVEY §2.1).
+    """
+    from sqlrs_spark.functions.hashing import md5int_spark
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    # v11's stable-scratch discipline: lazy plan => no mkdtemp-per-call
+    root = os.path.join(tempfile.gettempdir(), f"sqlrs_scratch_x34_{os.getuid()}")
+    app = spark.sparkContext.applicationId
+    fact_dir = os.path.join(root, app, "events_by_day")
+    dim_dir = os.path.join(root, app, "day_dim")
+    try:
+        import shutil as _shutil
+        import time as _time
+
+        for sib in os.listdir(root):
+            p = os.path.join(root, sib)
+            if sib != app and _time.time() - os.path.getmtime(p) > 86400:
+                _shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+    ev.repartition("day").write.mode("overwrite").partitionBy("day").parquet(fact_dir)
+    (
+        ev.select("day")
+        .distinct()
+        .selectExpr("day", f"{md5int_spark('day')} % 5 AS dtag")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(dim_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("dtag") == 1)
+    return fact.join(dim, "day").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("day").alias("n_days"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )

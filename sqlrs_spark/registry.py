@@ -75,16 +75,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (a') NEW mid-round-6 operators — first-ever driver rows: SCD2 full
     # version history, sweep-line interval-union coverage, malformed-CSV
     # ingestion modes, incremental MV-merge maintenance, cross-doc
-    # repeated-span scrubbing, PQ-compressed ANN.  They take the six
-    # cadence-fill slots p02/p09/t02/t13/m02/m04 held (those keep their
-    # r4 rows — within the 3-round cadence until r7, where they are
-    # already part of the documented first claim):
+    # repeated-span scrubbing, PQ-compressed ANN, dynamic partition
+    # pruning, curriculum interleave ordering, streaming SCD2.  They
+    # take the nine cadence-fill slots p02/p09/t02/t13/m01/m02/m04/s02/
+    # s04 held (those keep their r4 rows — within the 3-round cadence
+    # until r7, where they are already part of the documented first
+    # claim):
     "x32_scd2_history",
     "x33_interval_union",
     "v15_corrupt_csv",
     "p34_incremental_agg",
     "p33_span_scrub",
     "p35_pq_ann",
+    "x34_dynamic_partition_pruning",
+    "p36_curriculum_order",
+    "s12_stream_scd2",
     # (b) rewritten since its latest row (the rewritten=>re-verify lint):
     # s11_plan split into s11_emitted/s11_finalize for the recovery test
     "s11_stream_cdc_apply",
@@ -133,11 +138,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "p16_dedup_minhash_capped",
     "p20_tfidf_terms",
     "s01_stream_tumbling",
-    "s02_stream_stateful_sessions",
-    "s04_stream_dedup",
     "s07_stream_stream_join",
     "s10_stream_session_window",
-    "m01_multimodal_meta",
     "m06_audio_windows",
     "p27_cdc_upsert",
 )

@@ -958,3 +958,193 @@ def _set_s11_oracle() -> None:
 
 
 _set_s11_oracle()
+
+
+# ---------------------------------------------------------------------------
+# s12 — streaming SCD Type-2 (continuously-maintained full version history)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s12_stream_scd2",
+    # identical semantics to the batch half: every change opens a version,
+    # the next change closes it (temporal._X32_ORACLE)
+    oracle=None,  # set right below — the import must not be at module top
+    tags=("pipeline", "streaming", "stateful", "cdc"),
+)
+def s12_stream_scd2(spark, sf_dir):
+    """Streaming SCD Type-2: the STREAMING half of x32 — the full
+    valid_from/valid_to version history, maintained continuously over an
+    unbounded changelog (the warehouse-dimension twin of s11's
+    final-state view).
+
+    State per key is the UNFINALIZED suffix of the version history plus
+    two counters — never the stream: a version row is immutable once the
+    event-time watermark passes the ts that CLOSES it (no event with an
+    earlier ts can still arrive and re-split it), so each batch emits the
+    newly-immutable prefix once, prunes it from state, and re-emits the
+    still-mutable suffix with a per-key monotone event counter.  At
+    steady state the retained suffix is the open version plus whatever
+    falls inside the watermark delay — O(churn within the delay), the
+    minimum any out-of-order-correct SCD2 must hold.
+
+    Recovery/batching contract (the s11 discipline): finalized rows are
+    immutable (duplicates collapse under DISTINCT-by-version); mutable
+    rows carry the monotone counter, so the bounded replay's final
+    answer is the per-(key, version) emission with the highest
+    (is_final, n_seen) — proven equal to the batch x32 by the shared
+    oracle regardless of how the source was batched.
+    """
+    return s12_plan(spark, sf_dir)
+
+
+def s12_plan(spark, sf_dir, ev_stream=None):
+    ev = ev_stream if ev_stream is not None else read_events_stream(spark, sf_dir)
+    emitted = s12_emitted(ev.withWatermark("ts", "2 hours"))
+    result = _drain_memory_sink(emitted, "s12", "update")
+    return s12_finalize(result)
+
+
+def s12_emitted(ev):
+    """The stateful stage of s12, sink-free (tests attach their own sink
+    for kill/restart recovery scenarios)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, version bigint, event_id bigint, attr string,"
+        " value_cents bigint, valid_from_us bigint, valid_to_us bigint,"
+        " is_current boolean, is_final boolean, n_seen bigint"
+    )
+    state_schema = (
+        "n_seen bigint, n_finalized bigint, ts array<bigint>,"
+        " eid array<bigint>, cents array<bigint>, attr array<string>"
+    )
+
+    def apply_changes(key, batches, state: GroupState):
+        if state.exists:
+            n_seen, n_finalized, ts_a, eid_a, cents_a, attr_a = state.get
+            hist = list(zip(ts_a, eid_a, cents_a, attr_a))
+        else:
+            n_seen, n_finalized, hist = 0, 0, []
+        for rows in batches:
+            ts_us = rows["ts"].astype("int64") // 1_000  # ns -> micros
+            eid = rows["event_id"].astype("int64")
+            cents = (rows["value"] * 100 + 0.5).astype("int64")
+            etype = rows["event_type"]
+            n_seen += len(rows)
+            hist.extend(
+                (int(t), int(e), int(c), str(a))
+                for t, e, c, a in zip(ts_us, eid, cents, etype)
+            )
+        hist.sort()
+        try:
+            wm_us = state.getCurrentWatermarkMs() * 1_000
+        except Exception:
+            wm_us = 0
+        # versions whose CLOSING ts is past the watermark are immutable:
+        # no event with ts < watermark can arrive to re-split them
+        n_final_now = 0
+        while n_final_now + 1 < len(hist) and hist[n_final_now + 1][0] <= wm_us:
+            n_final_now += 1
+        out = {
+            "user_id": [],
+            "version": [],
+            "event_id": [],
+            "attr": [],
+            "value_cents": [],
+            "valid_from_us": [],
+            "valid_to_us": [],
+            "is_current": [],
+            "is_final": [],
+            "n_seen": [],
+        }
+
+        def emit(idx, row, nxt, final):
+            t, e, c, a = row
+            out["user_id"].append(key[0])
+            out["version"].append(n_finalized + idx + 1)
+            out["event_id"].append(e)
+            out["attr"].append(a)
+            out["value_cents"].append(c)
+            out["valid_from_us"].append(t)
+            out["valid_to_us"].append(nxt[0] if nxt is not None else None)
+            out["is_current"].append(nxt is None)
+            out["is_final"].append(final)
+            out["n_seen"].append(n_seen)
+
+        for i in range(n_final_now):
+            emit(i, hist[i], hist[i + 1], True)
+        for i in range(n_final_now, len(hist)):
+            nxt = hist[i + 1] if i + 1 < len(hist) else None
+            emit(i, hist[i], nxt, False)
+
+        # prune the immutable prefix; renumber the retained suffix's base
+        retained = hist[n_final_now:]
+        n_finalized += n_final_now
+        state.update(
+            (
+                int(n_seen),
+                int(n_finalized),
+                [r[0] for r in retained],
+                [r[1] for r in retained],
+                [r[2] for r in retained],
+                [r[3] for r in retained],
+            )
+        )
+        yield pd.DataFrame(out)
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        apply_changes,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def s12_finalize(result):
+    """Reduce s12's emission log to the version history: per (key,
+    version) the winning emission is the lexicographic max of (is_final,
+    n_seen) — finalized rows are immutable and beat any mutable
+    re-emission; among mutable ones the monotone counter picks the
+    latest.  Absorbs at-least-once duplicates after kill/restart the
+    same way s11_finalize does."""
+    final = (
+        result.groupBy("user_id", "version")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("is_final").cast("int").alias("fin"),
+                    "n_seen",
+                    "event_id",
+                    "attr",
+                    "value_cents",
+                    "valid_from_us",
+                    "valid_to_us",
+                    "is_current",
+                )
+            ).alias("w")
+        )
+        .select(
+            "user_id",
+            "version",
+            F.col("w.event_id").alias("event_id"),
+            F.col("w.attr").alias("attr"),
+            F.col("w.value_cents").alias("value_cents"),
+            F.col("w.valid_from_us").alias("valid_from_us"),
+            F.col("w.valid_to_us").alias("valid_to_us"),
+            F.col("w.is_current").alias("is_current"),
+        )
+    )
+    return final.orderBy("user_id", "version")
+
+
+def _set_s12_oracle() -> None:
+    from sqlrs_spark.operators.temporal import _X32_ORACLE
+    from sqlrs_spark.registry import REGISTRY
+
+    REGISTRY["s12_stream_scd2"].oracle = _X32_ORACLE
+
+
+_set_s12_oracle()
