@@ -1217,3 +1217,63 @@ def x31_range_join_bucketed(spark, sf_dir):
     """
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_X31_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# x35 — ordered string aggregation (LISTAGG ... WITHIN GROUP)
+# ---------------------------------------------------------------------------
+
+
+def _x35(spark_dialect: bool) -> str:
+    """Dual-dialect ordered string aggregation.
+
+    Per market segment: the top-5 customer nations as one deterministic
+    ``NAME:count`` CSV, ordered inside the aggregate (count desc, name).
+    Spark 4's ``listagg(expr, sep) WITHIN GROUP (ORDER BY ...)`` is the
+    ANSI form; DuckDB spells it ``string_agg(expr, sep ORDER BY ...)``.
+
+    Scale shape: the aggregation that touches the FACT (customer) is a
+    plain composite-key count — map-side partial, one shuffle on
+    (segment, nation).  The ordered concat runs strictly AFTER that
+    reduction, over the |segments| x |nations| frame (hundreds of rows at
+    any corpus size), so no unbounded per-group string state ever crosses
+    an exchange — the pattern for "ordered label list per entity" that
+    stays safe at 100 TB.
+    """
+    if spark_dialect:
+        item = "concat(n_name, ':', cast(n_cust as string))"
+        agg = f"listagg({item}, ',') WITHIN GROUP (ORDER BY n_cust DESC, n_name)"
+    else:
+        item = "n_name || ':' || CAST(n_cust AS VARCHAR)"
+        agg = f"string_agg({item}, ',' ORDER BY n_cust DESC, n_name)"
+    return f"""
+WITH per AS (
+  SELECT c_mktsegment AS segment, n_name, COUNT(*) AS n_cust
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT segment, n_name, n_cust,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY n_cust DESC, n_name) AS rk
+  FROM per
+)
+SELECT segment,
+       {agg} AS top_nations,
+       COUNT(*) AS n_in_list,
+       CAST(SUM(n_cust) AS BIGINT) AS covered_customers
+FROM ranked
+WHERE rk <= 5
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register("x35_string_agg", oracle=_x35(False), tags=("extension", "aggregate"))
+def x35_string_agg(spark, sf_dir):
+    """Ordered string aggregation (ANSI LISTAGG / string_agg) — not in the
+    reference (its aggregate set is sum/count/min/max/avg over scalars,
+    src/function/aggregate.rs); Spark 4 provides it natively and the plan
+    keeps the concat off the fact-table path (see _x35)."""
+    register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(_x35(True))

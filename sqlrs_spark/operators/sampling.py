@@ -574,3 +574,138 @@ def p36_curriculum_order(spark, sf_dir):
 
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_p36(True))
+
+
+# ---------------------------------------------------------------------------
+# p37 — per-source token caps (domain balancing under a shared ceiling)
+# ---------------------------------------------------------------------------
+
+_P37_FEAT_SPARK = """
+SELECT doc_id, source,
+       CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(1000 * size(array_distinct(split(text, ' '))) AS BIGINT)
+         DIV CAST(size(split(text, ' ')) AS BIGINT) AS q_milli
+FROM documents
+"""
+_P37_FEAT_DUCK = """
+SELECT doc_id, source,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(1000 * len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         // CAST(len(string_split(text, ' ')) AS BIGINT) AS q_milli
+FROM documents
+"""
+
+#: per-source ceiling: no source may contribute more than total // _P37_DIV
+#: tokens to the selected mix (sf0.01 has 6 sources of ~1/6 each, so a /5
+#: cap genuinely truncates the largest sources and keeps the smallest whole
+#: — both code paths execute)
+_P37_DIV = 5
+
+
+@register(
+    "p37_domain_cap_select",
+    # the oracle states the SPEC: quality-first running total PER SOURCE,
+    # keep while the exclusive cumulative stays under the shared cap —
+    # the textbook per-domain formulation (one sorted window per source)
+    oracle=f"""
+    WITH feat AS ({_P37_FEAT_DUCK}),
+    ranked AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+                                    ORDER BY q_milli DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+      FROM feat
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM ranked
+    WHERE cum - n_tokens < (SELECT SUM(n_tokens) // {_P37_DIV} FROM feat)
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline", "sampling", "quality"),
+)
+def p37_domain_cap_select(spark, sf_dir):
+    """Domain balancing: cap every source at a shared token ceiling
+    (1/5 of the corpus), filling each source's allowance quality-first
+    (integer type-token ratio, ties by doc_id).  This is the "no domain
+    dominates the mix" curation move (C4/RefinedWeb-style source caps);
+    the naive formulation is one full sort PER SOURCE — and real corpora
+    are source-skewed, so the biggest domain's sort is the straggler.
+
+    Spark-first plan generalizes p30's stratification to GROUPED budgets:
+    1. one pass collapses the corpus to per-(source, quality) token
+       totals — at most |sources| x 1001 rows at any scale;
+    2. each source's quality cutoff q*_s and boundary remainder r_s come
+       from that tiny frame (bounded driver read, like p30's);
+    3. docs above their source's cutoff pass a broadcast-joined FILTER
+       (no ordering anywhere), and only each source's single boundary
+       stratum runs a doc_id-ordered window.
+    Skew-proof by construction: the per-source window the spec implies
+    never touches the full fact, so a 90%-of-corpus domain costs a scan,
+    not a single-task sort.  Oracle spells the per-source global-window
+    spec; identical kept set.
+    """
+    from sqlrs_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    feat = spark.sql(_P37_FEAT_SPARK)
+
+    # tiny frame: per-(source, quality) totals
+    rows = (
+        feat.groupBy("source", "q_milli")
+        .agg(F.sum("n_tokens").alias("tk"))
+        .collect()
+    )
+    per_src: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append((r["q_milli"], r["tk"]))
+    total = sum(tk for qt in per_src.values() for _, tk in qt)
+    cap = total // _P37_DIV
+
+    # per-source cutoffs: q*_s = boundary quality, r_s = tokens left there
+    cutoffs = []  # (source, q_star, remaining); q_star None => keep all
+    for src, qt in per_src.items():
+        qt.sort(reverse=True)
+        cum = 0
+        q_star, remaining = None, 0
+        for q, tk in qt:
+            if cum + tk >= cap:
+                q_star, remaining = q, cap - cum
+                break
+            cum += tk
+        cutoffs.append((src, q_star, remaining))
+
+    cut_df = F.broadcast(
+        spark.createDataFrame(
+            cutoffs, "source string, q_star bigint, remaining bigint"
+        )
+    )
+    joined = feat.join(cut_df, "source")
+    full = joined.filter(
+        F.col("q_star").isNull() | (F.col("q_milli") > F.col("q_star"))
+    )
+
+    from pyspark.sql import Window as W
+
+    boundary_w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    boundary = (
+        joined.filter(F.col("q_milli") == F.col("q_star"))
+        .withColumn("cum", F.sum("n_tokens").over(boundary_w))
+        .filter(F.col("cum") - F.col("n_tokens") < F.col("remaining"))
+        .drop("cum")
+    )
+    return (
+        full.unionByName(boundary)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -832,3 +832,101 @@ def p35_pq_ann(spark, sf_dir):
     Recall vs the exact baseline is gated in tests/test_ann_quality.py."""
     register_views(spark, sf_dir, ("embeddings",))
     return spark.sql(_p35(True))
+
+
+# ---------------------------------------------------------------------------
+# p38 — mutual k-NN graph (the SemDeDup / clustering precursor structure)
+# ---------------------------------------------------------------------------
+
+_P38_K = 3  # directed neighbors per node before the mutuality filter
+
+
+def _p38(spark_dialect: bool) -> str:
+    """Dual-dialect mutual k-NN graph over the embedding corpus.
+
+    Structure: every vector is assigned to its nearest coarse centroid
+    (p08's frozen 8-centroid quantizer — production swaps in p18's
+    k-means output, same plan), directed k=3 neighbor lists are computed
+    WITHIN each cell, and an edge survives only if it appears in both
+    endpoints' lists (mutual k-NN — the graph SemDeDup-style semantic
+    clustering and graph-based dedup run components over).
+
+    Scale shape: candidate generation is the cent_id equi-join (per-cell
+    O(sum c_i^2), never corpus^2 — the p26 bound; centroid count grows
+    with the corpus to hold cell sizes flat), the directed top-k is a
+    window partitioned on src_id, and mutuality is ONE hash aggregation
+    on the unordered edge key (both directions present <=> count = 2; a
+    knn-self-join formulation would re-run the whole scoring pipeline for
+    the second reference) — every stage shuffle-partitioned, no broadcast
+    of anything that grows.  The two directions' cosines are bit-identical
+    (element-wise products commute, association order unchanged), so
+    MIN(cosine) is a selector, not an approximation.
+    """
+    if spark_dialect:
+        v = "transform(embedding, x -> cast(x as double))"
+        dot = (
+            "aggregate(zip_with({a}.v, {b}.v, (x, y) -> x * y), "
+            "cast(0.0 as double), (acc, p) -> acc + p)"
+        )
+        dotc = (
+            "aggregate(zip_with(e.v, c.cv, (x, y) -> x * y), "
+            "cast(0.0 as double), (acc, p) -> acc + p)"
+        )
+        norm = "aggregate({s}.v, cast(0.0 as double), (acc, x) -> acc + x * x)"
+        normc = "aggregate(c.cv, cast(0.0 as double), (acc, x) -> acc + x * x)"
+    else:
+        v = "embedding::DOUBLE[]"
+        dot = "list_dot_product({a}.v, {b}.v)"
+        dotc = "list_dot_product(e.v, c.cv)"
+        norm = "list_dot_product({s}.v, {s}.v)"
+        normc = "list_dot_product(c.cv, c.cv)"
+    cent_cos = f"{dotc} / sqrt({norm.format(s='e')} * {normc})"
+    pair_cos = (
+        f"{dot.format(a='a', b='b')} / "
+        f"sqrt({norm.format(s='a')} * {norm.format(s='b')})"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {v} AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM e
+  WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _N_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cent_cos} DESC, c.cent_id) AS rn
+    FROM e JOIN cents c ON true
+  ) t WHERE rn = 1
+),
+knn AS (
+  SELECT src_id, dst_id, cosine FROM (
+    SELECT aa.vec_id AS src_id, ab.vec_id AS dst_id, {pair_cos} AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY aa.vec_id
+                              ORDER BY {pair_cos} DESC, ab.vec_id) AS rk
+    FROM assign aa
+    JOIN assign ab ON aa.cent_id = ab.cent_id AND aa.vec_id <> ab.vec_id
+    JOIN e a ON a.vec_id = aa.vec_id
+    JOIN e b ON b.vec_id = ab.vec_id
+  ) d WHERE rk <= {_P38_K}
+)
+SELECT src_id, dst_id, cosine FROM (
+  SELECT least(src_id, dst_id) AS src_id,
+         greatest(src_id, dst_id) AS dst_id,
+         MIN(cosine) AS cosine,
+         COUNT(*) AS n_directions
+  FROM knn GROUP BY 1, 2
+) undirected
+WHERE n_directions = 2
+ORDER BY src_id, dst_id
+"""
+
+
+@register("p38_knn_graph", oracle=_p38(False), tags=("pipeline", "similarity"))
+def p38_knn_graph(spark, sf_dir):
+    """Mutual k-NN graph construction over the embedding corpus — directed
+    top-3 within IVF cells, kept only when both endpoints agree (see
+    _p38).  Feeds p09/p10-style connected components for semantic
+    clustering; identical statement runs in both engines."""
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(_p38(True))

@@ -138,10 +138,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "p16_dedup_minhash_capped",
     "p20_tfidf_terms",
     "s01_stream_tumbling",
-    "s07_stream_stream_join",
-    "s10_stream_session_window",
-    "m06_audio_windows",
     "p27_cdc_upsert",
+    # (a'') LATE round-6 operators — first-ever driver rows: ordered
+    # string aggregation, per-source token caps, mutual k-NN graph.
+    # They take the three discretionary conf-drift fill slots s07/s10/m06
+    # held (all three keep r4 rows — within cadence until r7, where they
+    # are first claims alongside the 23 deferred r4 entries below):
+    "x35_string_agg",
+    "p37_domain_cap_select",
+    "p38_knn_graph",
 )
 
 

@@ -468,3 +468,47 @@ def test_x33_window_and_agg_share_exchange(spark, sf_dir):
     df = SPECS["x33_interval_union"].fn(spark, sf_dir)
     assert count_nodes(df, "Window") == 1
     assert count_nodes(df, "Exchange") <= 2
+
+
+def test_x35_listagg_after_reduction(spark, sf_dir):
+    """x35's contract: the ordered concat (ObjectHashAggregate/listagg)
+    runs on the post-count frame, never on the customer fact — the fact
+    path is a pruned scan + broadcast nation join + partial/final count,
+    and the rank<=5 predicate reaches the window as a group limit."""
+    df = SPECS["x35_string_agg"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert has_broadcast_join(df)
+    assert has_partial_agg(df)
+    # pruned fact read: only the two columns the count needs
+    schemas = read_schema_columns(df)
+    assert ["c_mktsegment", "c_nationkey"] in [sorted(c) for c in schemas], schemas
+    assert "WindowGroupLimit" in s, "rank<=5 must push down as a group limit"
+
+
+def test_p37_no_full_corpus_sort(spark, sf_dir):
+    """p37's spec is one sorted window PER SOURCE over the whole corpus;
+    the plan must confine sorting to the boundary strata — like p30, the
+    only range exchange allowed is the final ORDER BY over the per-source
+    aggregate (<= |sources| rows)."""
+    df = SPECS["p37_domain_cap_select"].fn(spark, sf_dir)
+    s = explain_str(df)
+    sorts = [ln for ln in s.splitlines() if "Exchange rangepartitioning" in ln]
+    assert all("source" in ln for ln in sorts), sorts
+    # the cutoff table joins as a broadcast, never a shuffle of the corpus
+    assert has_broadcast_join(df)
+
+
+def test_p38_single_scoring_pass_and_no_unbounded_nlj(spark, sf_dir):
+    """p38's mutuality must come from the unordered-edge aggregation, not
+    a knn-self-join (which would duplicate the whole scoring pipeline):
+    exactly one cent_id candidate join and one directed-top-k window.
+    The only nested-loop joins allowed are the 8-row centroid assigns."""
+    df = SPECS["p38_knn_graph"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "CartesianProduct" not in s
+    # 3 windows = the two inlined centroid assigns (aa, ab — each a
+    # bounded 8-candidates-per-vector rn=1) + ONE directed top-k; a
+    # knn-self-join would double the top-k window and the cent_id join
+    assert count_nodes(df, "Window") == 3, "knn pipeline must not run twice"
+    assert count_nodes(df, "SortMergeJoin") + count_nodes(df, "ShuffledHashJoin") == 1
+    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 2  # aa + ab assigns
