@@ -596,10 +596,13 @@ FROM documents
 """
 
 #: per-source ceiling: no source may contribute more than total // _P37_DIV
-#: tokens to the selected mix (sf0.01 has 6 sources of ~1/6 each, so a /5
-#: cap genuinely truncates the largest sources and keeps the smallest whole
-#: — both code paths execute)
-_P37_DIV = 5
+#: tokens to the selected mix.  The driver corpus has 20 sources with
+#: shares between ~4.1% and ~5.7%, so the /22 cap (~4.55%) genuinely
+#: truncates the larger half and keeps the smaller sources whole — both
+#: code paths execute at every SF (the bench replicas token-salt but
+#: preserve per-source proportions); test_sampling_quality asserts the
+#: split is non-vacuous
+_P37_DIV = 22
 
 
 @register(
@@ -627,7 +630,7 @@ _P37_DIV = 5
 )
 def p37_domain_cap_select(spark, sf_dir):
     """Domain balancing: cap every source at a shared token ceiling
-    (1/5 of the corpus), filling each source's allowance quality-first
+    (1/22 of the corpus), filling each source's allowance quality-first
     (integer type-token ratio, ties by doc_id).  This is the "no domain
     dominates the mix" curation move (C4/RefinedWeb-style source caps);
     the naive formulation is one full sort PER SOURCE — and real corpora

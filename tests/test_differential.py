@@ -837,3 +837,51 @@ def test_differential_conditional_exprs(engines, sql):
     spark, duck = engines
     ok, msg = compare(spark.sql(sql), duck, sql)
     assert ok, f"{msg}\nSQL: {sql}"
+
+
+@st.composite
+def filter_clause_query(draw):
+    """Aggregate FILTER-clause family: per-aggregate predicates (ANSI
+    `agg(x) FILTER (WHERE p)`) with independently drawn filters per
+    aggregate — including predicates that keep ZERO rows (SUM/MIN go
+    NULL while COUNT goes 0, per spec) and predicates whose filter
+    expression is itself three-valued (NULLIF manufactures UNKNOWN,
+    which FILTER must treat as not-kept in both engines).  Identical
+    statement text runs on both engines; exact aggregates only."""
+    preds = st.sampled_from(
+        [
+            "l_linenumber > 3",
+            "l_quantity < 10",
+            "l_shipdate < DATE '1995-01-01'",
+            # NULLIF(ln,1)=1: 1 -> NULL=1 (UNKNOWN, dropped), else ln=1 is
+            # FALSE -> keeps zero rows; the empty-filter aggregate case
+            "NULLIF(l_linenumber, 1) = 1",
+            "l_discount BETWEEN 0.02 AND 0.04",
+            "l_returnflag IN ('A', 'R')",
+            "NULLIF(CAST(l_orderkey % 4 AS BIGINT), 0) >= 2",
+        ]
+    )
+    p1, p2 = draw(preds), draw(preds)
+    key = draw(st.sampled_from(["l_returnflag", "l_linestatus"]))
+    where = draw(_where)
+    return (
+        f"SELECT {key}, "
+        f"COUNT(*) FILTER (WHERE {p1}) AS n1, "
+        f"CAST(SUM(l_linenumber) FILTER (WHERE {p2}) AS BIGINT) AS s2, "
+        f"MIN(l_orderkey) FILTER (WHERE {p1}) AS mn1, "
+        f"CAST(MAX(l_shipdate) FILTER (WHERE {p2}) AS DATE) AS mx2, "
+        "COUNT(*) AS n_all "
+        f"FROM lineitem {where} GROUP BY {key} ORDER BY {key}"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=filter_clause_query())
+def test_differential_filter_clause(engines, sql):
+    spark, duck = engines
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"

@@ -78,3 +78,57 @@ def test_p23_is_a_subset_sample(spark, pps_fixture):
     bounded by k * max_doc_size and at least k * min_doc_size."""
     for r in SPECS["p23_pps_sample"].fn(spark, pps_fixture).collect():
         assert _K * 900 <= r["sampled_chars"] <= _K * 9000
+
+
+# --- p37 domain-cap property gates ---------------------------------------
+#
+# Oracle parity pins that the stratified plan equals the per-source
+# running-window spec; these pin the properties the cap EXISTS for, on
+# the driver corpus itself.  The spec is EXCLUSIVE-running-total (p30's):
+# a doc is kept while the budget is not yet exhausted BEFORE it, so the
+# boundary doc may overshoot the ceiling by at most its own size — the
+# gates assert cap-plus-one-doc, and strict truncation only for sources
+# exceeding the cap by more than their largest document.
+
+
+def _p37_frames(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sqlrs_spark.operators.sampling import _P37_DIV, _P37_FEAT_SPARK
+    from sqlrs_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    feat = spark.sql(_P37_FEAT_SPARK)
+    per_src = {
+        r["source"]: (r["tk"], r["mx"])
+        for r in feat.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tk"), F.max("n_tokens").alias("mx"))
+        .collect()
+    }
+    cap = sum(tk for tk, _ in per_src.values()) // _P37_DIV
+    kept = {
+        r["source"]: r["kept_tokens"]
+        for r in SPECS["p37_domain_cap_select"].fn(spark, sf_dir).collect()
+    }
+    return per_src, cap, kept
+
+
+def test_p37_no_source_exceeds_cap_plus_boundary_doc(spark, sf_dir):
+    per_src, cap, kept = _p37_frames(spark, sf_dir)
+    assert kept, "selection must be non-empty"
+    for s, k in kept.items():
+        tk, mx = per_src[s]
+        assert k < cap + mx, (s, k, cap, mx)
+
+
+def test_p37_small_sources_kept_whole_and_large_truncated(spark, sf_dir):
+    per_src, cap, kept = _p37_frames(spark, sf_dir)
+    whole = [s for s, (tk, _) in per_src.items() if tk <= cap]
+    # strict truncation is only guaranteed past the one-doc overshoot
+    truncated = [s for s, (tk, mx) in per_src.items() if tk > cap + mx]
+    # the corpus must exercise BOTH paths or the gate is vacuous
+    assert truncated and whole, per_src
+    for s in whole:
+        assert kept[s] == per_src[s][0], (s, kept[s], per_src[s])
+    for s in truncated:
+        assert kept[s] < per_src[s][0], (s, kept[s], per_src[s])
