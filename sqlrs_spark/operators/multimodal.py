@@ -23,6 +23,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sqlrs_spark.functions.imaging import (  # noqa: F401 - re-exported API
@@ -833,3 +834,180 @@ def m08_scene_change(spark, sf_dir):
         " boundary_checksum bigint",
     )
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# m09 — cross-stream A/V alignment: keyframes asof-joined to loud audio.
+# m06 proves the codec path; m09 proves the TEMPORAL composition a video
+# ingest pipeline needs: two derived per-doc streams on one clock
+# (irregular keyframes, irregular above-average-loudness audio windows),
+# aligned with the x12 as-of machinery partitioned BY DOCUMENT.
+# ---------------------------------------------------------------------------
+
+_M09_CAP = 2048  # sample horizon per doc (samples = payload bytes)
+_M09_WIN = 64  # samples per audio loudness window
+_M09_STEP = 100  # samples per video frame (irregular vs the 64 grid)
+_M09_BRIGHT = 192  # keyframe threshold on the md5-derived luma byte
+
+# The oracle restates both streams from hex/md5 arithmetic and arbitrates
+# the alignment with DuckDB's NATIVE `ASOF LEFT JOIN` — an independent
+# formulation of the windowed carry-forward the Spark plan runs (the x12
+# pattern: same answer, different machinery).  Integer-exact throughout.
+_M09_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS seed,
+         substr(hex(encode(text)), 1, {2 * _M09_CAP}) AS hx
+  FROM documents
+),
+s AS (
+  SELECT doc_id, g.j // {_M09_WIN} AS w,
+         (('0x' || substr(hx, g.j * 2 + 1, 2))::INT - 128) * 256 AS smp
+  FROM h JOIN generate_series(0, {_M09_CAP - 1}) AS g(j) ON g.j * 2 < strlen(hx)
+),
+win AS (
+  SELECT doc_id, CAST(w AS INT) AS win_idx,
+         CAST({_M09_WIN} * w AS BIGINT) AS t,
+         CAST(SUM(CAST(smp AS BIGINT) * smp) // COUNT(*) AS BIGINT) AS energy
+  FROM s GROUP BY doc_id, w
+),
+bar AS (
+  SELECT doc_id, SUM(energy) AS tot, COUNT(*) AS nw FROM win GROUP BY doc_id
+),
+loud AS (
+  SELECT win.doc_id, win_idx, t, energy
+  FROM win JOIN bar USING (doc_id)
+  WHERE energy * nw > tot
+),
+kf AS (
+  SELECT h.doc_id, CAST(g.j AS INT) AS frame_idx,
+         CAST({_M09_STEP} * g.j AS BIGINT) AS frame_t
+  FROM h JOIN generate_series(0, {(_M09_CAP - 1) // _M09_STEP}) AS g(j)
+    ON g.j * {2 * _M09_STEP} < strlen(hx)
+  WHERE ('0x' || substr(md5(seed || CAST(g.j AS VARCHAR)), 1, 2))::INT
+          >= {_M09_BRIGHT}
+)
+SELECT k.doc_id, k.frame_idx, k.frame_t,
+       l.win_idx AS win_idx, l.energy AS win_energy
+FROM kf k ASOF LEFT JOIN loud l
+  ON k.doc_id = l.doc_id AND l.t <= k.frame_t
+ORDER BY k.doc_id, k.frame_idx
+"""
+
+
+@register(
+    "m09_av_keyframe_align",
+    oracle=_M09_ORACLE,
+    tags=("pipeline", "multimodal", "temporal"),
+)
+def m09_av_keyframe_align(spark, sf_dir):
+    """A/V stream alignment: every KEYFRAME (video frames every 100
+    samples whose md5-derived luma clears a brightness bar — irregular)
+    is attributed to the most recent LOUD audio window (64-sample windows
+    whose integer mean-square energy exceeds the doc's average —
+    irregular) at or before it on the shared sample clock.  This is the
+    caption/moment-alignment shape of video-corpus curation, and neither
+    stream is periodic, so it is a genuine as-of, not a division.
+
+    Spark-first plan, all keyed by doc_id (the natural 100-TB partition):
+    sample explosion is BOUNDED (<= 2048 rows/doc), window energies are
+    one (doc, win) hash aggregate, the per-doc loudness bar is a window
+    aggregate on the same doc partitioning, and the alignment is the x12
+    tagged-window carry-forward — one union, one per-doc sort, a running
+    last(ignorenulls); no pair join ever materializes.  The DuckDB
+    oracle arbitrates with its native ASOF LEFT JOIN — an independent
+    formulation that must produce identical rows (ties: a window AT the
+    keyframe's sample time counts, tag-ordering <=> ASOF's <=).
+    """
+    from sqlrs_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.encode("text", "utf-8")).alias("seed"),
+        F.substring(F.hex(F.encode("text", "utf-8")), 1, 2 * _M09_CAP).alias("hx"),
+    )
+
+    smp = F.expr("(CAST(conv(substr(hx, j * 2 + 1, 2), 16, 10) AS INT) - 128) * 256")
+    win = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(0, CAST(length(hx) / 2 AS INT) - 1)")
+            ).alias("j"),
+            "hx",
+        )
+        .select("doc_id", (F.col("j") / _M09_WIN).cast("int").alias("w"), smp.alias("smp"))
+        .groupBy("doc_id", "w")
+        .agg(
+            F.expr("CAST(sum(CAST(smp AS BIGINT) * smp) DIV count(*) AS BIGINT)").alias(
+                "energy"
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("w").alias("win_idx"),
+            (F.lit(_M09_WIN) * F.col("w")).cast("bigint").alias("t"),
+            "energy",
+        )
+    )
+    doc_w = W.partitionBy("doc_id")
+    loud = (
+        win.withColumn("tot", F.sum("energy").over(doc_w))
+        .withColumn("nw", F.count("*").over(doc_w))
+        .filter(F.col("energy") * F.col("nw") > F.col("tot"))
+        .drop("tot", "nw")
+    )
+    bright = F.expr(
+        f"CAST(conv(substr(md5(concat(seed, CAST(j AS STRING))), 1, 2), 16, 10) AS INT)"
+        f" >= {_M09_BRIGHT}"
+    )
+    kf = (
+        docs.select(
+            "doc_id",
+            "seed",
+            F.explode(
+                F.expr(
+                    f"sequence(0, CAST((length(hx) DIV 2 - 1) DIV {_M09_STEP} AS INT))"
+                )
+            ).alias("j"),
+        )
+        .filter(bright)
+        .select(
+            "doc_id",
+            F.col("j").cast("int").alias("frame_idx"),
+            (F.lit(_M09_STEP) * F.col("j")).cast("bigint").alias("frame_t"),
+        )
+    )
+
+    # x12 tagged-window as-of: loud windows tag 0, keyframes tag 1; an
+    # equal-time window sorts before the keyframe => inclusive <=
+    tagged = loud.select(
+        "doc_id",
+        F.col("t").alias("at"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("int").alias("frame_idx"),
+        F.lit(None).cast("bigint").alias("frame_t"),
+        F.col("win_idx").alias("w_val"),
+        F.col("energy").alias("e_val"),
+    ).unionByName(
+        kf.select(
+            "doc_id",
+            F.col("frame_t").alias("at"),
+            F.lit(1).alias("tag"),
+            "frame_idx",
+            "frame_t",
+            F.lit(None).cast("int").alias("w_val"),
+            F.lit(None).cast("bigint").alias("e_val"),
+        )
+    )
+    carry = (
+        W.partitionBy("doc_id")
+        .orderBy("at", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tagged.withColumn("win_idx", F.last("w_val", ignorenulls=True).over(carry))
+        .withColumn("win_energy", F.last("e_val", ignorenulls=True).over(carry))
+        .filter(F.col("tag") == 1)
+        .select("doc_id", "frame_idx", "frame_t", "win_idx", "win_energy")
+        .orderBy("doc_id", "frame_idx")
+    )

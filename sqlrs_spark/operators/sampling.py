@@ -712,3 +712,77 @@ def p37_domain_cap_select(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# p39 — importance resampling to a prescribed target mix (flatten languages)
+# ---------------------------------------------------------------------------
+
+
+def _p39(spark_dialect: bool) -> str:
+    """Dual-dialect resampler to a TARGET source distribution.
+
+    Target here: the UNIFORM language mix (every language an equal
+    share — the "don't let English drown the tail" rebalancing move;
+    any prescribed weight vector drops into the same formula).  The
+    driver corpus is genuinely skewed (en is ~44%, fr ~13%), so the
+    filter has real bite.  With actual per-language doc counts n_l, the
+    acceptance probability that converts the actual mix into the target
+    in expectation while keeping the most data is
+
+        p_l = (target_l / actual_l) / max_t(target_t / actual_t)
+            = min(n) / n_l            (uniform target)
+
+    i.e. every language is thinned toward the rarest language's count.
+    The draw is the registry's deterministic md5 pattern with a
+    p39-specific salt (integer ppm precision, exact in both engines);
+    the per-language thresholds come from a |langs|-row count aggregate,
+    so the plan is: tiny agg -> broadcast join -> scan-local filter ->
+    per-language audit aggregate.  No window, no sort, nothing driver-side
+    — rebalancing a 100 TB corpus costs one scan plus a 20-row join.
+    """
+    salted_spark = "'p39:' || cast(doc_id as string)"
+    salted_duck = "'p39:' || doc_id::VARCHAR"
+    if spark_dialect:
+        draw = f"pmod({h31_spark(salted_spark)}, 1000000)"
+        idiv = "DIV"
+    else:
+        draw = f"(({h31_duck(salted_duck)}) % 1000000)"
+        idiv = "//"
+    return f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+),
+thresholds AS (
+  SELECT lang, n_l,
+         CAST((1000000 * (SELECT MIN(n_l) FROM counts)) {idiv} n_l AS BIGINT)
+           AS keep_ppm
+  FROM counts
+),
+kept AS (
+  SELECT d.doc_id, d.lang, t.keep_ppm, t.n_l
+  FROM documents d JOIN thresholds t ON d.lang = t.lang
+  WHERE {draw} < t.keep_ppm
+)
+SELECT lang,
+       CAST(MAX(n_l) AS BIGINT) AS n_before,
+       COUNT(*) AS n_kept,
+       CAST(MAX(keep_ppm) AS BIGINT) AS keep_ppm,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM kept
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("p39_target_mix_resample", oracle=_p39(False), tags=("pipeline", "sampling"))
+def p39_target_mix_resample(spark, sf_dir):
+    """Importance resampling to a prescribed target mix — uniform across
+    languages, acceptance min(n)/n_l per doc via a salted deterministic
+    md5 draw (see _p39).  Completes the mixing family: p22 reweights by
+    temperature, p37 caps by budget, p39 matches an exact target
+    distribution in expectation."""
+    from sqlrs_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_p39(True))

@@ -137,16 +137,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "p13_token_budget_pack",
     "p16_dedup_minhash_capped",
     "p20_tfidf_terms",
-    "s01_stream_tumbling",
-    "p27_cdc_upsert",
     # (a'') LATE round-6 operators — first-ever driver rows: ordered
-    # string aggregation, per-source token caps, mutual k-NN graph.
-    # They take the three discretionary conf-drift fill slots s07/s10/m06
-    # held (all three keep r4 rows — within cadence until r7, where they
-    # are first claims alongside the 23 deferred r4 entries below):
+    # string aggregation, per-source token caps, mutual k-NN graph, A/V
+    # keyframe alignment, target-mix resampling.  They take the five
+    # discretionary conf-drift fill slots s07/s10/m06/s01/p27 held (all
+    # five keep r4 rows — within cadence until r7, where they are first
+    # claims alongside the 23 deferred r4 entries below):
     "x35_string_agg",
     "p37_domain_cap_select",
     "p38_knn_graph",
+    "m09_av_keyframe_align",
+    "p39_target_mix_resample",
 )
 
 

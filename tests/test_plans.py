@@ -512,3 +512,17 @@ def test_p38_single_scoring_pass_and_no_unbounded_nlj(spark, sf_dir):
     assert count_nodes(df, "Window") == 3, "knn pipeline must not run twice"
     assert count_nodes(df, "SortMergeJoin") + count_nodes(df, "ShuffledHashJoin") == 1
     assert count_nodes(df, "BroadcastNestedLoopJoin") <= 2  # aa + ab assigns
+
+
+def test_m09_alignment_is_windowed_not_pair_joined(spark, sf_dir):
+    """m09's as-of must be the tagged-window carry-forward: no pair join
+    between keyframes and windows (SortMergeJoin/NestedLoop would put
+    the O(frames x windows) product on the plan), and every exchange is
+    keyed by doc_id — the alignment never leaves the doc partition."""
+    df = SPECS["m09_av_keyframe_align"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert "CartesianProduct" not in s
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    hash_ex = [ln for ln in s.splitlines() if "hashpartitioning(" in ln]
+    assert hash_ex and all("doc_id" in ln for ln in hash_ex), hash_ex
