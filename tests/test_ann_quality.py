@@ -143,3 +143,26 @@ def test_pq_recall_on_clustered(spark, clustered_dir, exact_sets):
     # craters this toward the candidate fraction)
     r = _mean_recall(_topk_sets(SPECS["p35_pq_ann"].fn(spark, clustered_dir)), exact_sets)
     assert r >= 0.7, f"PQ-ADC mean recall@5 {r:.2f} < 0.7 (measured 0.84)"
+
+
+def test_p38_mutual_knn_respects_planted_clusters(spark, clustered_dir):
+    """Graph-quality gate for p38 on the planted-cluster fixture: with 10
+    well-separated clusters, mutual-kNN edges must (a) exist in volume —
+    mutuality may thin the directed lists but not empty them — and (b)
+    stay inside clusters: an edge crossing two planted clusters means
+    candidate generation or ranking is broken.  Exact measurement on the
+    seeded fixture, not a probabilistic bound."""
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(clustered_dir + "/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    edges = SPECS["p38_knn_graph"].fn(spark, clustered_dir).collect()
+    assert len(edges) >= 100, f"suspiciously sparse mutual graph: {len(edges)}"
+    cross = [
+        (e["src_id"], e["dst_id"])
+        for e in edges
+        if labels[e["src_id"]] != labels[e["dst_id"]]
+    ]
+    assert not cross, f"{len(cross)} cross-cluster edges, e.g. {cross[:5]}"

@@ -132,3 +132,18 @@ def test_p37_small_sources_kept_whole_and_large_truncated(spark, sf_dir):
         assert kept[s] == per_src[s][0], (s, kept[s], per_src[s])
     for s in truncated:
         assert kept[s] < per_src[s][0], (s, kept[s], per_src[s])
+
+
+def test_p39_actually_flattens_the_language_mix(spark, sf_dir):
+    """p39's property gate: the corpus language mix is skewed (en several
+    times the rarest language); after resampling the kept counts must be
+    near-uniform.  Deterministic md5 draws => exact measurement: require
+    the kept max/min ratio to shrink below half the input's skew ratio
+    and below 2x absolute (binomial noise at this SF stays well inside)."""
+    rows = SPECS["p39_target_mix_resample"].fn(spark, sf_dir).collect()
+    before = {r["lang"]: r["n_before"] for r in rows}
+    kept = {r["lang"]: r["n_kept"] for r in rows}
+    skew_before = max(before.values()) / min(before.values())
+    skew_after = max(kept.values()) / min(kept.values())
+    assert skew_before > 2.0, before  # the gate must have something to flatten
+    assert skew_after < min(2.0, skew_before / 2), (before, kept)
