@@ -1028,3 +1028,23 @@ def test_array_distinct_null_deviation(engines):
     ][0]
     assert s == [1, 2, None, 3]  # order-preserving, one NULL kept
     assert sorted(d) == [1, 2, 3], d  # NULLs gone entirely
+
+
+def test_month_end_interval_clamping_agrees(engines):
+    """Month-arithmetic boundary pin: BOTH engines clamp to the target
+    month's last day (Jan 31 + 1 month = Feb 29 in a leap year, Feb 28
+    otherwise; Feb 29 + 1 year = Feb 28).  Probed identical while
+    hunting deviations — pinned so a Spark upgrade changing the clamping
+    convention (e.g. to error or roll over) fails loudly rather than
+    silently skewing every date±interval operator."""
+    spark, duck = engines
+    cases = [
+        ("DATE '2024-01-31' + INTERVAL 1 MONTH", "2024-02-29"),
+        ("DATE '2023-01-31' + INTERVAL 1 MONTH", "2023-02-28"),
+        ("DATE '2024-02-29' + INTERVAL 1 YEAR", "2025-02-28"),
+        ("DATE '2024-03-31' - INTERVAL 1 MONTH", "2024-02-29"),
+    ]
+    for expr, want in cases:
+        got_s = spark.sql(f"SELECT CAST({expr} AS DATE) AS v").collect()[0]["v"]
+        got_d = duck.execute(f"SELECT CAST(({expr}) AS DATE) AS v").fetchall()[0][0]
+        assert str(got_s) == str(got_d) == want, (expr, got_s, got_d)

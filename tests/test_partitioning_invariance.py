@@ -49,6 +49,15 @@ QUERIES = [
     "p35_pq_ann",
     "p33_span_scrub",
     "p34_incremental_agg",
+    # late round-6 additions: the boundary-stratum window + broadcast
+    # cutoffs of the grouped-budget cap (p37), the per-cell top-k +
+    # unordered-edge mutuality aggregation (p38), the per-doc tagged
+    # as-of carry-forward whose union order must not matter (m09), and
+    # the ppm-draw resampler (p39)
+    "p37_domain_cap_select",
+    "p38_knn_graph",
+    "m09_av_keyframe_align",
+    "p39_target_mix_resample",
 ]
 
 
