@@ -924,6 +924,13 @@ def m09_av_keyframe_align(spark, sf_dir):
         "doc_id",
         F.md5(F.encode("text", "utf-8")).alias("seed"),
         F.substring(F.hex(F.encode("text", "utf-8")), 1, 2 * _M09_CAP).alias("hx"),
+    ).filter(
+        # NULL/empty docs carry no samples.  Without this guard Spark's
+        # sequence(0, -1) DESCENDS ([0, -1]) instead of returning empty,
+        # and the keyframe bound clamps to 0 — both would emit phantom
+        # rows the oracle's strlen-gated generate_series never produces
+        # (review finding, round 6)
+        F.length("hx") > 0
     )
 
     smp = F.expr("(CAST(conv(substr(hx, j * 2 + 1, 2), 16, 10) AS INT) - 128) * 256")

@@ -585,14 +585,14 @@ SELECT doc_id, source,
        CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(1000 * size(array_distinct(split(text, ' '))) AS BIGINT)
          DIV CAST(size(split(text, ' ')) AS BIGINT) AS q_milli
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 _P37_FEAT_DUCK = """
 SELECT doc_id, source,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(1000 * len(list_distinct(string_split(text, ' '))) AS BIGINT)
          // CAST(len(string_split(text, ' ')) AS BIGINT) AS q_milli
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 #: per-source ceiling: no source may contribute more than total // _P37_DIV

@@ -118,15 +118,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q35_priority_shipping",
     "q37_forecast_revenue",
     "v01_values_scan",
-    # (d) pipeline/bench cadence fill, 24 slots: every bench-flagged
-    # entry whose latest row is r4 (the scale artifacts must rest on
-    # hard-verified queries), then the r4-latest pipeline entries most
-    # exposed to conf drift — streaming (checkpoint/state machinery),
-    # multimodal (Arrow batch path), and the bases of this round's new
-    # ops (p02 minhash, p27 CDC twin, p09 components).  The 23 deferred
-    # r4 entries (p03-p05, p07/p08, p12/p14/p15, p17/p19/p21-p23,
-    # s03/s05/s06, t03-t08/t10) are within the 3-round cadence and are
-    # r7's documented first claim on slots, alongside the 25 r3-latest.
+    # (d) bench cadence fill, 10 slots: every bench-flagged entry whose
+    # latest row is r4 (the scale artifacts must rest on hard-verified
+    # queries).  The r4-latest pipeline entries that originally shared
+    # this block surrendered their slots to the (a')/(a'') new-operator
+    # rotations (the displaced names are listed in those blocks: p02/
+    # p09/t02/t13/m01/m02/m04/s02/s04 mid-round, s07/s10/m06/s01/p27
+    # late) — all keep r4 rows and are r7's documented FIRST claim on
+    # slots, alongside the 23 deferred r4 entries (p03-p05, p07/p08,
+    # p12/p14/p15, p17/p19/p21-p23, s03/s05/s06, t03-t08/t10) and the
+    # 25 r3-latest.
     "q03_shipping_priority",
     "q05_local_volume",
     "q25_large_orders",

@@ -307,3 +307,43 @@ def test_dhash64_numpy_matches_scalar(w, h, color_type):
     bpp = {0: 1, 2: 3, 6: 4}[color_type]
     png = encode_png(w, h, _pixels(w, h, bpp, seed=w * h), color_type)
     assert dhash64(png) == _dhash64_scalar(png)
+
+
+def test_m09_agrees_with_oracle_on_empty_and_null_text(spark, tmp_path):
+    """Degenerate-corpus regression (round-6 review finding): for an
+    empty doc Spark's sequence(0, -1) DESCENDS instead of returning
+    empty and the keyframe bound clamps to 0, emitting phantom j=0 rows
+    the oracle's strlen-gated generate_series never produces.  The hx
+    length guard must keep both engines identical on a corpus carrying
+    NULL and empty texts."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sqlrs_spark.registry import all_specs
+    from tests.oracle import compare
+
+    texts = [None, "", "short one", "x" * 500, "", None, "tokens here now"]
+    d = str(tmp_path / "m09_degenerate")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s0"] * len(texts), pa.string()),
+                "n_chars": pa.array(
+                    [len(t) if t else 0 for t in texts], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    spec = all_specs()["m09_av_keyframe_align"]
+    ok, msg = compare(spec.fn(spark, d), con, spec.oracle)
+    assert ok, msg

@@ -147,3 +147,52 @@ def test_p39_actually_flattens_the_language_mix(spark, sf_dir):
     skew_after = max(kept.values()) / min(kept.values())
     assert skew_before > 2.0, before  # the gate must have something to flatten
     assert skew_after < min(2.0, skew_before / 2), (before, kept)
+
+
+def test_p37_and_p39_survive_null_and_empty_text(spark, tmp_path):
+    """Degenerate-corpus regression (round-6 review finding): a NULL-text
+    document crashed p37's driver-side cutoff fold (None in the
+    per-(source, quality) frame).  Both mixing ops must now agree with
+    their oracles on a corpus carrying NULL and empty texts."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle import compare
+
+    rows = []
+    for i in range(40):
+        text = None if i % 13 == 0 else ("" if i % 7 == 0 else f"tok{i} tok{i % 3} x")
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": ["en", "en", "fr"][i % 3],
+                "source": f"s{i % 4}",
+                "n_chars": len(text) if text else 0,
+            }
+        )
+    d = str(tmp_path / "degenerate")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+                "lang": pa.array([r["lang"] for r in rows], pa.string()),
+                "source": pa.array([r["source"] for r in rows], pa.string()),
+                "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    for name in ("p37_domain_cap_select", "p39_target_mix_resample"):
+        spec = SPECS[name]
+        ok, msg = compare(spec.fn(spark, d), con, spec.oracle)
+        assert ok, f"{name}: {msg}"

@@ -401,10 +401,13 @@ def main() -> None:
         prev_duck = prev_art.get("duckdb_queries", {})
         prev_spark = dict(prev_art.get("queries", {}))
         prev_spark.update(prev_art.get("bucketed", {}))
-        # a prior round's fresh numbers are the better reference — the
-        # sweep number they replaced was the contaminated one
+        # a prior round's DEFENSIBLE number is the better reference: the
+        # min of (sweep, fresh) — taking fresh unconditionally would let a
+        # SLOWER un-adopted fresh retry inflate the baseline, so a real
+        # next-round regression vs the adopted number could pass the 30%
+        # band un-retried (review finding, round 6)
         for n, pair in prev_art.get("fresh_retry", {}).items():
-            prev_spark[n] = pair["fresh"]
+            prev_spark[n] = min(pair["fresh"], pair["timed"])
         for n, now in duck_t.items():
             prev = prev_duck.get(n)
             if prev and max(now / prev, prev / now) > 1.5:
