@@ -294,6 +294,7 @@ def _p04(spark_dialect: bool, ordered: bool = True) -> str:
     return f"""
 WITH d AS (
   SELECT doc_id, lang, {grams} AS grams FROM documents
+  WHERE text IS NOT NULL
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
 FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id

@@ -76,7 +76,13 @@ def binarize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text → opaque binary column + typed metadata struct.
     This is the storage shape for image/audio/video at scale: payload as
     parquet binary, metadata as plain columns for pushdown-able filtering."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        # degenerate-corpus policy (round-6 sweep): a NULL text has no
+        # payload — binarization skips it, and every m-oracle mirrors
+        # the same WHERE; empty text stays (a zero-byte payload is a
+        # legitimate decode input)
+        F.col("text").isNotNull()
+    )
     return docs.select(
         "doc_id",
         F.encode("text", "utf-8").alias("payload"),
@@ -130,7 +136,7 @@ SELECT doc_id,
        lower(substr(hex(encode(text)), 1, 8))       AS magic,
        CAST((('0x'||substr(md5(text),1,15))::BIGINT % 1920) + 1 AS INT) AS width,
        CAST((('0x'||substr(md5(text),1,15))::BIGINT % 1080) + 1 AS INT) AS height
-FROM documents
+FROM documents WHERE text IS NOT NULL
 ORDER BY doc_id
 """
 
@@ -194,6 +200,7 @@ SELECT d.doc_id,
 FROM documents d
 JOIN generate_series(0, 1000000, 4) AS gs(i)
   ON gs.i <= ((strlen(d.text) + 255) // 256) - 1
+WHERE d.text IS NOT NULL
 ORDER BY doc_id, frame_idx
 """
 
@@ -269,7 +276,7 @@ WITH v AS (
          list_transform(generate_series(0, 7), i ->
            ((('0x'||substr(md5(text || '|' || i), 1, 15))::BIGINT % 1000) / 1000.0)
          ) AS embedding
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
        CAST(g.i AS INT)      AS dim_idx,
@@ -307,7 +314,7 @@ WITH dims AS (
   SELECT doc_id,
          CAST((('0x'||substr(md5(text),1,15))::BIGINT % 1920) + 1 AS INT) AS width,
          CAST((('0x'||substr(md5(text),1,15))::BIGINT % 1080) + 1 AS INT) AS height
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, width, height,
        CAST(greatest(1, (width  * {_RESIZE_BOX}) // greatest(width, height)) AS INT)
@@ -389,7 +396,7 @@ _M05_OFF = 1 << 50  # twin id offset — far above any replica's key stride
     SELECT doc_id                         AS doc_a,
            doc_id + {_M05_OFF}            AS doc_b,
            CAST((doc_id // {_M05_EVERY}) % 4 AS INT) AS hamming
-    FROM documents WHERE doc_id % {_M05_EVERY} = 0
+    FROM documents WHERE doc_id % {_M05_EVERY} = 0 AND text IS NOT NULL
     UNION ALL
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INT) AS hamming
     FROM documents a JOIN documents b
@@ -428,7 +435,11 @@ def m05_image_neardup(spark, sf_dir):
     """
     from sqlrs_spark.functions.imaging import dhash64, encode_png
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())  # degenerate-corpus policy
+        .select("doc_id", "text")
+    )
     every, off = _M05_EVERY, _M05_OFF
 
     def to_hash(batches):
@@ -549,7 +560,7 @@ AUDIO_WIN_SCHEMA = (
 _M06_ORACLE = f"""
 WITH h AS (
   SELECT doc_id, substr(hex(encode(text)), 1, {2 * _M06_CAP_BYTES}) AS hx
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 s AS (
   SELECT doc_id,
@@ -647,7 +658,7 @@ _M07_P = 4  # patch side: 4x4 grid of 4x4-pixel patches
 # mean = floor-sum/16, min/max over bytes.
 _M07_ORACLE = f"""
 WITH h AS (
-  SELECT doc_id, md5(text) AS seed FROM documents
+  SELECT doc_id, md5(text) AS seed FROM documents WHERE text IS NOT NULL
 ),
 blocks AS (
   SELECT doc_id, b.i AS blk, md5(seed || CAST(b.i AS VARCHAR)) AS bh
@@ -692,7 +703,11 @@ def m07_patch_grid(spark, sf_dir):
     """
     from sqlrs_spark.functions.imaging import decode_image, encode_png
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())  # degenerate-corpus policy
+        .select("doc_id", "text")
+    )
     w, p = _M07_W, _M07_P
 
     def to_patches(batches):
@@ -754,6 +769,7 @@ WITH frames AS (
   FROM documents d
   JOIN generate_series(0, 1000000, 1) AS gs(i)
     ON gs.i <= ((strlen(d.text) + {_M08_FRAME} - 1) // {_M08_FRAME}) - 1
+  WHERE d.text IS NOT NULL
 ),
 marked AS (
   SELECT doc_id, fi,
@@ -805,6 +821,11 @@ def m08_scene_change(spark, sf_dir):
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 arr = _np.frombuffer(bytes(payload), dtype=_np.uint8)
                 n_frames = (len(arr) + _M08_FRAME - 1) // _M08_FRAME
+                if n_frames == 0:
+                    # zero-byte payload: no frames, no scenes — emit
+                    # nothing, matching the oracle's frame-join (which
+                    # produces no rows for an empty doc)
+                    continue
                 lumas = [
                     int(arr[i * _M08_FRAME : (i + 1) * _M08_FRAME].sum())
                     // len(arr[i * _M08_FRAME : (i + 1) * _M08_FRAME])

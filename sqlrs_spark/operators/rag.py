@@ -77,7 +77,8 @@ WITH chunks AS (
   SELECT doc_id, chunk_start, {chunk_text} AS chunk_text
   FROM (
     SELECT doc_id, toks, {series} AS chunk_start
-    FROM (SELECT doc_id, {split} AS toks FROM documents) t
+    FROM (SELECT doc_id, {split} AS toks FROM documents
+          WHERE text IS NOT NULL) t
   ) s
 ),
 embedded AS (

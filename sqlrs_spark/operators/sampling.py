@@ -286,7 +286,7 @@ def _p23(spark_dialect: bool) -> str:
     return f"""
 WITH pri AS (
   SELECT source, doc_id, n_chars, {prio} AS priority
-  FROM documents
+  FROM documents WHERE n_chars > 0
 ),
 ranked AS (
   SELECT source, doc_id, n_chars, priority,
@@ -322,6 +322,11 @@ def p23_pps_sample(spark, sf_dir):
     partial top-k (each partition keeps its k smallest, then one final
     k-of-k·P reduction) — the same lossless two-level reduction
     p06_ann_bruteforce uses for its per-batch top-k.
+
+    Zero-size docs are excluded up front (n_chars > 0, both dialects):
+    a PPS weight must be positive — priority = draw/size is undefined
+    at 0 (and ANSI Spark raises DIVIDE_BY_ZERO where DuckDB yields inf;
+    round-6 degenerate-corpus sweep).
     """
     from sqlrs_spark.sources.tables import register_views
 
@@ -397,14 +402,14 @@ SELECT doc_id, lang,
        CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(1000 * size(array_distinct(split(text, ' '))) AS BIGINT)
          DIV CAST(size(split(text, ' ')) AS BIGINT) AS q_milli
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 _P30_FEAT_DUCK = """
 SELECT doc_id, lang,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(1000 * len(list_distinct(string_split(text, ' '))) AS BIGINT)
          // CAST(len(string_split(text, ' ')) AS BIGINT) AS q_milli
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 #: kept share of the corpus: budget = total tokens // _P30_DIV

@@ -155,7 +155,8 @@ WITH feat AS (
          CAST({nuniq} AS BIGINT)  AS n_uniq,
          CAST({stop} AS BIGINT)   AS n_stop,
          CAST({sumlen} AS BIGINT) AS sum_len
-  FROM (SELECT doc_id, {split} AS toks FROM documents) t
+  FROM (SELECT doc_id, {split} AS toks FROM documents
+        WHERE text IS NOT NULL) t
 )
 SELECT doc_id, n_tokens, n_uniq,
        n_uniq / CAST(n_tokens AS DOUBLE)                       AS ttr,
@@ -197,7 +198,7 @@ def _t04(spark_dialect: bool) -> str:
         )
     return f"""
 SELECT doc_id, {fold} AS fingerprint
-FROM documents
+FROM documents WHERE text IS NOT NULL
 ORDER BY doc_id
 """
 
@@ -236,7 +237,8 @@ SELECT doc_id,
        {join_.format(c=chunk)}              AS chunk_text
 FROM (
   SELECT doc_id, toks, {series} AS chunk_start
-  FROM (SELECT doc_id, {split} AS toks FROM documents) t
+  FROM (SELECT doc_id, {split} AS toks FROM documents
+        WHERE text IS NOT NULL) t
 ) s
 ORDER BY doc_id, chunk_start
 """
@@ -282,7 +284,8 @@ WITH tri AS (
   SELECT doc_id,
          CASE WHEN size_ok THEN {tri} ELSE {empty} END AS tris
   FROM (SELECT doc_id, toks, {('size(toks)' if spark_dialect else 'len(toks)')} >= 3 AS size_ok
-        FROM (SELECT doc_id, {split} AS toks FROM documents) t0) t
+        FROM (SELECT doc_id, {split} AS toks FROM documents
+        WHERE text IS NOT NULL) t0) t
 )
 SELECT doc_id,
        CAST({nel} AS BIGINT) AS n_trigrams,

@@ -152,6 +152,39 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 
+# Rewritten during round 6 AFTER their latest driver rows — the
+# degenerate-corpus NULL/empty-text guards (every documents-reading
+# operator must implement the SAME degenerate policy in both engines;
+# tests/test_degenerate_corpus.py) — while the round-6 window was already
+# full: the 18 new operators' mandatory first rows plus the 21-entry
+# r1-evidence tail (VERDICT r5 #1) held every slot.  Re-verification on
+# file for each: oracle parity at sf0.001 (pytest), a driver-equivalent
+# sf0.01 sweep, and the 58-op degenerate-corpus suite.  The rewritten=>
+# re-verify lint (tests/test_registry_window.py) excuses an entry listed
+# here ONLY until an artifact round NEWER than the recorded round exists;
+# the moment r7's CORRECTNESS lands without a fresh row for one of these,
+# the lint fails — so r7's curation cannot miss them.  They are r7's
+# FIRST window claim, ahead of the deferred-fill backlog.
+REWRITE_DEBT: dict[str, int] = {
+    "p04_dedup_ngram": 6,
+    "p09_dedup_clusters": 6,
+    "p19_rag_prep": 6,
+    "p23_pps_sample": 6,
+    "t03_quality_score": 6,
+    "t04_fingerprint": 6,
+    "t05_chunking": 6,
+    "t06_repetition": 6,
+    "m01_multimodal_meta": 6,
+    "m02_frame_sample": 6,
+    "m03_fake_embed": 6,
+    "m04_resize": 6,
+    "m05_image_neardup": 6,
+    "m06_audio_windows": 6,
+    "m07_patch_grid": 6,
+    "m08_scene_change": 6,
+}
+
+
 def all_specs() -> dict[str, QuerySpec]:
     # import for side effect of registration
     import sqlrs_spark.operators.relational  # noqa: F401
