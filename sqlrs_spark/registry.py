@@ -59,130 +59,95 @@ def register(
 # t01-t08/t10, m01/m02/m04/m06, s01-s07 keep their green r2 rows + the
 # local parity suite).  Rotated in, by reason:
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-6 curation.  Slot arithmetic (test_registry_window.py): 145
-    # registry entries cannot all re-verify in 50 slots/round, so the
-    # lints enforce a CADENCE — pipeline/bench entries re-row every <=3
-    # rounds, everything else every <=4 — and the window alternates
-    # between the pipeline-heavy and tail-clearing halves of that cycle
-    # (steady state: ~73/3 + ~72/4 ~= 42 mandatory slots, the rest free).
-    # (a) NEW operators this round — first-ever driver rows: incremental
-    # batch-vs-corpus dedup, source-overlap contamination matrix, token
-    # concentration profile, bucketed interval range join:
-    "p31_incremental_dedup",
-    "p32_source_overlap_matrix",
-    "t15_token_concentration",
-    "x31_range_join_bucketed",
-    # (a') NEW mid-round-6 operators — first-ever driver rows: SCD2 full
-    # version history, sweep-line interval-union coverage, malformed-CSV
-    # ingestion modes, incremental MV-merge maintenance, cross-doc
-    # repeated-span scrubbing, PQ-compressed ANN, dynamic partition
-    # pruning, curriculum interleave ordering, streaming SCD2.  They
-    # take the nine cadence-fill slots p02/p09/t02/t13/m01/m02/m04/s02/
-    # s04 held (those keep their r4 rows — within the 3-round cadence
-    # until r7, where they are already part of the documented first
-    # claim):
-    "x32_scd2_history",
-    "x33_interval_union",
-    "v15_corrupt_csv",
-    "p34_incremental_agg",
-    "p33_span_scrub",
-    "p35_pq_ann",
-    "x34_dynamic_partition_pruning",
-    "p36_curriculum_order",
-    "s12_stream_scd2",
-    # (b) rewritten since its latest row (the rewritten=>re-verify lint):
-    # s11_plan split into s11_emitted/s11_finalize for the recovery test
-    "s11_stream_cdc_apply",
-    # (c) the r1-evidence tail, ALL 21 entries (VERDICT r5 #1): their only
-    # driver rows predate four rounds of session-conf drift (ANSI, bloom
-    # thresholds, heap, bucketed adoption); the new max-staleness lint
-    # makes this class of debt impossible to re-accrue silently
-    "q02_filter_project",
-    "q04_priority_count",
-    "q07_join_left",
-    "q08_join_right",
-    "q09_join_full",
-    "q10_cross_join",
-    "q11_scalar_subquery",
-    "q12_distinct",
-    "q13_order_limit_offset",
-    "q14_agg_distinct",
-    "q15_date_interval",
-    "q16_minmax_strings",
-    "q18_derived_table",
-    "q20_returned_items",
-    "q26_inactive_customers",
-    "q27_order_priority",
-    "q29_important_parts",
-    "q30_customer_distribution",
-    "q35_priority_shipping",
-    "q37_forecast_revenue",
-    "v01_values_scan",
-    # (d) bench cadence fill, 10 slots: every bench-flagged entry whose
-    # latest row is r4 (the scale artifacts must rest on hard-verified
-    # queries).  The r4-latest pipeline entries that originally shared
-    # this block surrendered their slots to the (a')/(a'') new-operator
-    # rotations (the displaced names are listed in those blocks: p02/
-    # p09/t02/t13/m01/m02/m04/s02/s04 mid-round, s07/s10/m06/s01/p27
-    # late) — all keep r4 rows and are r7's documented FIRST claim on
-    # slots, alongside the 23 deferred r4 entries (p03-p05, p07/p08,
-    # p12/p14/p15, p17/p19/p21-p23, s03/s05/s06, t03-t08/t10) and the
-    # 25 r3-latest.
-    "q03_shipping_priority",
-    "q05_local_volume",
-    "q25_large_orders",
-    "q28_nation_profit",
-    "p01_dedup_exact",
-    "p06_ann_bruteforce",
-    "p11_corpus_pipeline",
-    "p13_token_budget_pack",
-    "p16_dedup_minhash_capped",
-    "p20_tfidf_terms",
-    # (a'') LATE round-6 operators — first-ever driver rows: ordered
-    # string aggregation, per-source token caps, mutual k-NN graph, A/V
-    # keyframe alignment, target-mix resampling.  They take the five
-    # discretionary conf-drift fill slots s07/s10/m06/s01/p27 held (all
-    # five keep r4 rows — within cadence until r7, where they are first
-    # claims alongside the 23 deferred r4 entries below):
-    "x35_string_agg",
-    "p37_domain_cap_select",
-    "p38_knn_graph",
-    "m09_av_keyframe_align",
-    "p39_target_mix_resample",
+    # Round-7 curation.  Slot arithmetic moved to a THREE-TIER cadence
+    # this round (tests/test_registry_window.py — VERDICT r6 #2: the old
+    # two-tier 3/4 cadence demanded 47.8 of 50 steady-state slots at 163
+    # entries, and r7's acute demand was 66): bench-flagged re-row every
+    # <=3 rounds, non-bench p/t/m/s every <=4, q/x/v every <=5.  Steady
+    # demand 18/3 + 67/4 + 78/5 = 38.4 of 50, lint-asserted live by
+    # test_cadence_demand_fits_window.
+    # (a) the 16 REWRITE_DEBT entries (degenerate-corpus NULL-guard
+    # rewrites, a46d7f7, AFTER their latest rows) — VERDICT r6 #1's first
+    # claim; the debt dict is emptied by this rotation:
+    "p04_dedup_ngram",
+    "p09_dedup_clusters",
+    "p19_rag_prep",
+    "p23_pps_sample",
+    "t03_quality_score",
+    "t04_fingerprint",
+    "t05_chunking",
+    "t06_repetition",
+    "m01_multimodal_meta",
+    "m02_frame_sample",
+    "m03_fake_embed",
+    "m04_resize",
+    "m05_image_neardup",
+    "m06_audio_windows",
+    "m07_patch_grid",
+    "m08_scene_change",
+    # (a') p30: round-6 ADVICE — its feature SQL constants gained the
+    # NULL-text guard after its r5 row; caught by the constant-aware
+    # fingerprint this round (tests/test_registry_window.py
+    # _fn_closure_src now walks module-level constants):
+    "p30_quality_budget_select",
+    # (b) the ENTIRE 25-entry r3 tail (VERDICT r6 #3): all hit the old
+    # 4-round cadence boundary the moment this round's artifact lands.
+    # Cleared in one pass rather than amortized under the new tier-3
+    # cadence — no entry's latest row is older than r4 after r7:
+    "v03_ddl_roundtrip",
+    "v09_partitioned_sink",
+    "v10_jsonl_roundtrip",
+    "v11_partitioned_write",
+    "v12_orc_roundtrip",
+    "x04_window_topk",
+    "x06_rollup",
+    "x07_conditional_pivot",
+    "x08_json_extract",
+    "x09_events_tumbling",
+    "x10_sessionization",
+    "x11_correlated_subquery",
+    "x13_range_join",
+    "x14_quantiles",
+    "x16_retention_cohorts",
+    "x17_grouping_sets",
+    "x19_running_windows",
+    "x20_correlated_subqueries",
+    "x21_recursive_cte",
+    "x22_lateral_topn",
+    "x23_unpivot",
+    "x24_dist_windows",
+    "x25_pivot",
+    "x26_bucketed_fact_join",
+    "x27_range_windows",
+    # (c) oldest-r4 fills, 8 slots: the displaced round-6 fills
+    # (s01/s07/s10/p27) plus the head of the deferred-r4 pipeline list
+    # (p02/p03/t02/t13).  The remaining r4 pipeline entries (p05, p07/
+    # p08, p12/p14/p15, p17/p21/p22, s02-s06, t07/t08/t10, m-entries
+    # already in (a)) keep r4 rows — legal under tier-2 <=4 until r8,
+    # where they are the documented first claim (~18 slots) alongside
+    # the r5-latest bench entries (q01/q06/q22/q34/t01/t09/x12/x18,
+    # 8 slots):
+    "s01_stream_tumbling",
+    "s07_stream_stream_join",
+    "s10_stream_session_window",
+    "p27_cdc_upsert",
+    "p02_dedup_minhash",
+    "p03_dedup_simhash",
+    "t02_language_id",
+    "t13_ngram_containment",
 )
 
 
-# Rewritten during round 6 AFTER their latest driver rows — the
-# degenerate-corpus NULL/empty-text guards (every documents-reading
-# operator must implement the SAME degenerate policy in both engines;
-# tests/test_degenerate_corpus.py) — while the round-6 window was already
-# full: the 18 new operators' mandatory first rows plus the 21-entry
-# r1-evidence tail (VERDICT r5 #1) held every slot.  Re-verification on
-# file for each: oracle parity at sf0.001 (pytest), a driver-equivalent
-# sf0.01 sweep, and the 58-op degenerate-corpus suite.  The rewritten=>
-# re-verify lint (tests/test_registry_window.py) excuses an entry listed
-# here ONLY until an artifact round NEWER than the recorded round exists;
-# the moment r7's CORRECTNESS lands without a fresh row for one of these,
-# the lint fails — so r7's curation cannot miss them.  They are r7's
-# FIRST window claim, ahead of the deferred-fill backlog.
-REWRITE_DEBT: dict[str, int] = {
-    "p04_dedup_ngram": 6,
-    "p09_dedup_clusters": 6,
-    "p19_rag_prep": 6,
-    "p23_pps_sample": 6,
-    "t03_quality_score": 6,
-    "t04_fingerprint": 6,
-    "t05_chunking": 6,
-    "t06_repetition": 6,
-    "m01_multimodal_meta": 6,
-    "m02_frame_sample": 6,
-    "m03_fake_embed": 6,
-    "m04_resize": 6,
-    "m05_image_neardup": 6,
-    "m06_audio_windows": 6,
-    "m07_patch_grid": 6,
-    "m08_scene_change": 6,
-}
+# Escape hatch for a mid-round rewrite when the window is already full:
+# list the rewritten entry here with the round whose artifact its stale
+# evidence belongs to.  The rewritten=>re-verify lint excuses it ONLY
+# until an artifact round NEWER than the recorded round exists, so the
+# next curation cannot miss it.  Round 6 used this for the 16
+# degenerate-corpus rewrites (a46d7f7); round 7 rotated all 16 (plus
+# p30, the constant-only rewrite the round-6 ADVICE flagged) into
+# DRIVER_WINDOW and emptied the dict — keep it empty unless a mid-round
+# rewrite genuinely cannot claim a window slot.
+REWRITE_DEBT: dict[str, int] = {}
 
 
 def all_specs() -> dict[str, QuerySpec]:
