@@ -922,7 +922,9 @@ ORDER BY src_id, dst_id
 """
 
 
-@register("p38_knn_graph", oracle=_p38(False), tags=("pipeline", "similarity"))
+@register(
+    "p38_knn_graph", oracle=_p38(False), tags=("pipeline", "similarity"), bench=True
+)
 def p38_knn_graph(spark, sf_dir):
     """Mutual k-NN graph construction over the embedding corpus — directed
     top-3 within IVF cells, kept only when both endpoints agree (see

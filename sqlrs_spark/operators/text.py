@@ -1239,7 +1239,9 @@ ORDER BY doc_id
 """
 
 
-@register("p33_span_scrub", oracle=_p33(False), tags=("pipeline", "text", "dedup"))
+@register(
+    "p33_span_scrub", oracle=_p33(False), tags=("pipeline", "text", "dedup"), bench=True
+)
 def p33_span_scrub(spark, sf_dir):
     """Cross-document repeated-span scrubbing (see _p33): REMOVE every
     token covered by a 5-token span shared by >= 3 documents and emit

@@ -133,8 +133,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "p27_cdc_upsert",
     "p02_dedup_minhash",
     "p03_dedup_simhash",
-    "t02_language_id",
-    "t13_ngram_containment",
+    # (d) promoted to the bench headline set this round (VERDICT r6 #7:
+    # the heaviest round-6 plans get scale trend lines) — the bench flag
+    # edits their decorators, so the rewrite lint demands fresh rows:
+    "p33_span_scrub",
+    "p38_knn_graph",
 )
 
 

@@ -283,7 +283,16 @@ def fresh_retries(
             continue
         before = prev.get(name)
         regressed = before is not None and now > before * NOISE_BAND
-        if not regressed and now < ALWAYS_FRESH_ABOVE_S:
+        # [bucketed] entries are ALWAYS fresh-verified (r6 verdict #4):
+        # the bucketed section runs at the very end of the sweep — after
+        # 18 plain queries and possibly a from-scratch ETL — where
+        # page-cache contamination peaks, and r6's q03[bucketed] sat at
+        # 9.38s, under BOTH the 1.3x band (prev 8.07s -> 10.5s trigger)
+        # and the 10s always-fresh threshold, leaving the one regressed
+        # number in the artifact unadjudicated.  There are only six such
+        # entries, so the extra subprocesses are cheap.
+        bucketed = name.endswith("[bucketed]")
+        if not regressed and not bucketed and now < ALWAYS_FRESH_ABOVE_S:
             continue
         if now < 2.0:
             # sub-2s absolutes are engine floor: a fresh JVM's cold-start
