@@ -14,6 +14,30 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Degenerate-embedding policy, shared by every embeddings-reading operator
+# (tests/test_degenerate_tables.py): vectors that cannot participate in
+# cosine geometry — NULL arrays, zero vectors (norm 0 divides by zero
+# under ANSI), and vectors carrying NaN — are dropped at the scan, with
+# the IDENTICAL predicate in both engines so Spark and the DuckDB oracle
+# agree on which rows exist.  At 100 TB this is the ingest-time validity
+# filter any embedding store applies; it pushes down to the parquet scan
+# as a deterministic row filter.
+EMB_VALID_SPARK = (
+    "embedding IS NOT NULL"
+    " AND NOT exists(embedding, x -> isnan(x))"
+    " AND exists(embedding, x -> x <> 0)"
+)
+EMB_VALID_DUCK = (
+    "embedding IS NOT NULL"
+    " AND len(list_filter(embedding, x -> isnan(x))) = 0"
+    " AND len(list_filter(embedding, x -> x <> 0)) > 0"
+)
+
+
+def emb_valid(spark_dialect: bool) -> str:
+    return EMB_VALID_SPARK if spark_dialect else EMB_VALID_DUCK
+
+
 def materialize_then_rm(df: DataFrame, *paths: str) -> DataFrame:
     """Collect a small bounded result into an in-memory DataFrame, then
     delete the scratch dirs backing its lineage.

@@ -29,6 +29,7 @@ from sqlrs_spark.functions.hashing import (
     md5int_duck,
     md5int_spark,
 )
+from sqlrs_spark.operators.common import EMB_VALID_SPARK, emb_valid
 from sqlrs_spark.registry import register
 from sqlrs_spark.sources.tables import register_views
 
@@ -336,7 +337,7 @@ def _p05(spark_dialect: bool) -> str:
     cos = f"{dot} / sqrt({norm.format(s='a')} * {norm.format(s='b')})"
     return f"""
 WITH e AS (
-  SELECT vec_id, {v} AS v FROM embeddings
+  SELECT vec_id, {v} AS v FROM embeddings WHERE {emb_valid(spark_dialect)}
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -833,7 +834,7 @@ def p26_semantic_dedup(spark, sf_dir):
     corpus = spark.sql(
         "SELECT vec_id AS id, transform(embedding, x -> cast(x as double)) AS v, "
         f"transform(embedding, x -> cast(floor(cast(x as double) * {_KM_SCALE}) as double)) AS vq "
-        "FROM embeddings"
+        f"FROM embeddings WHERE {EMB_VALID_SPARK}"
     )
     cents = kmeans_centroids(spark, corpus)
 

@@ -17,6 +17,7 @@ in both engines → bit-identical cosines → stable value hashes.
 from __future__ import annotations
 
 from sqlrs_spark.functions.hashing import md5int_duck, md5int_spark
+from sqlrs_spark.operators.common import EMB_VALID_DUCK, EMB_VALID_SPARK, emb_valid
 from sqlrs_spark.registry import register
 from sqlrs_spark.sources.tables import register_views
 
@@ -59,7 +60,7 @@ def _p06(spark_dialect: bool) -> str:
     return f"""
 WITH e AS (
   SELECT vec_id, v, {norm_self} AS nrm
-  FROM (SELECT vec_id, {v} AS v FROM embeddings) base
+  FROM (SELECT vec_id, {v} AS v FROM embeddings WHERE {emb_valid(spark_dialect)}) base
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
@@ -110,7 +111,8 @@ def p06_ann_bruteforce(spark, sf_dir):
 
     register_views(spark, sf_dir, ("embeddings",))
     corpus = spark.sql(
-        "SELECT vec_id, transform(embedding, x -> cast(x as double)) AS v FROM embeddings"
+        f"SELECT vec_id, transform(embedding, x -> cast(x as double)) AS v "
+        f"FROM embeddings WHERE {EMB_VALID_SPARK}"
     )
     qrows = sorted(
         corpus.filter(F.col("vec_id") < _N_QUERIES).collect(), key=lambda r: r.vec_id
@@ -200,7 +202,7 @@ def _p07(spark_dialect: bool) -> str:
     return f"""
 WITH e AS (
   SELECT vec_id, v, {norm_self} AS nrm, {bucket} AS bucket
-  FROM (SELECT vec_id, {v} AS v FROM embeddings) base
+  FROM (SELECT vec_id, {v} AS v FROM embeddings WHERE {emb_valid(spark_dialect)}) base
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
@@ -252,7 +254,7 @@ def _p08(spark_dialect: bool) -> str:
     )
     pair_cos = f"{dot_vv} / sqrt({norm_v.format(s='q')} * {norm_v.format(s='c')})"
     return f"""
-WITH e AS (SELECT vec_id, {v} AS v FROM embeddings),
+WITH e AS (SELECT vec_id, {v} AS v FROM embeddings WHERE {emb_valid(spark_dialect)}),
 cents AS (
   SELECT vec_id AS cent_id, v AS cv FROM e
   WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _N_CENTROIDS}
@@ -356,7 +358,7 @@ def _p15(spark_dialect: bool) -> str:
     return f"""
 WITH e AS (
   SELECT vec_id, v, {bucket} AS bucket
-  FROM (SELECT vec_id, {v} AS v FROM embeddings) base
+  FROM (SELECT vec_id, {v} AS v FROM embeddings WHERE {emb_valid(spark_dialect)}) base
 ),
 planes AS ({planes}),
 qp AS (
@@ -449,7 +451,7 @@ def kmeans_cte_prefix() -> str:
 """
     return f"""
 WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v, {vq} AS vq FROM embeddings
+  SELECT vec_id, embedding::DOUBLE[] AS v, {vq} AS vq FROM embeddings WHERE {EMB_VALID_DUCK}
 ),
 c0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, vq AS cv
@@ -587,7 +589,7 @@ def p18_ann_ivf_kmeans(spark, sf_dir):
     corpus = spark.sql(
         "SELECT vec_id AS id, transform(embedding, x -> cast(x as double)) AS v, "
         f"transform(embedding, x -> cast(floor(cast(x as double) * {_KM_SCALE}) as double)) AS vq "
-        "FROM embeddings"
+        f"FROM embeddings WHERE {EMB_VALID_SPARK}"
     )
     cents = kmeans_centroids(spark, corpus)
 
@@ -664,7 +666,7 @@ def _p24(spark_dialect: bool) -> str:
         qmin, qmax = "list_min(q)", "list_max(q)"
     return f"""
 WITH e AS (
-  SELECT vec_id, {v} AS v FROM embeddings
+  SELECT vec_id, {v} AS v FROM embeddings WHERE {emb_valid(spark_dialect)}
 ),
 scaled AS (
   SELECT vec_id, v,
@@ -763,7 +765,7 @@ def _p35(spark_dialect: bool) -> str:
     return f"""
 WITH e AS (
   SELECT vec_id, v, {nrm} AS nrm, vq
-  FROM (SELECT vec_id, {v} AS v, {vq} AS vq FROM embeddings) base
+  FROM (SELECT vec_id, {v} AS v, {vq} AS vq FROM embeddings WHERE {emb_valid(spark_dialect)}) base
 ),
 cb AS (
   SELECT m, k, {sub.format(a='vq')} AS cbv
@@ -886,7 +888,7 @@ def _p38(spark_dialect: bool) -> str:
         f"sqrt({norm.format(s='a')} * {norm.format(s='b')})"
     )
     return f"""
-WITH e AS (SELECT vec_id, {v} AS v FROM embeddings),
+WITH e AS (SELECT vec_id, {v} AS v FROM embeddings WHERE {emb_valid(spark_dialect)}),
 cents AS (
   SELECT vec_id AS cent_id, v AS cv FROM e
   WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _N_CENTROIDS}

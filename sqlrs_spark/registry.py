@@ -128,11 +128,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the r5-latest bench entries (q01/q06/q22/q34/t01/t09/x12/x18,
     # 8 slots):
     "s01_stream_tumbling",
-    "s07_stream_stream_join",
-    "s10_stream_session_window",
-    "p27_cdc_upsert",
-    "p02_dedup_minhash",
-    "p03_dedup_simhash",
+    # (c') rewritten mid-round-7 by the embeddings degenerate-table sweep
+    # (tests/test_degenerate_tables.py — the shared NULL/zero-norm/NaN
+    # validity filter, operators/common.emb_valid): the five slots the
+    # r4 advance-fills s07/s10/p27/p02/p03 held go to the rewritten ops
+    # instead (the displaced fills keep r4 rows, legal under tier-2 <=4
+    # until r8); the remaining four rewrites (p05/p07/p08/p15) are r4
+    # pipeline entries already due at r8 and sit in REWRITE_DEBT:
+    "p06_ann_bruteforce",
+    "p18_ann_ivf_kmeans",
+    "p24_embedding_quant",
+    "p26_semantic_dedup",
+    "p35_pq_ann",
     # (d) promoted to the bench headline set this round (VERDICT r6 #7:
     # the heaviest round-6 plans get scale trend lines) — the bench flag
     # edits their decorators, so the rewrite lint demands fresh rows:
@@ -150,7 +157,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # p30, the constant-only rewrite the round-6 ADVICE flagged) into
 # DRIVER_WINDOW and emptied the dict — keep it empty unless a mid-round
 # rewrite genuinely cannot claim a window slot.
-REWRITE_DEBT: dict[str, int] = {}
+REWRITE_DEBT: dict[str, int] = {
+    # embeddings degenerate-table sweep rewrites (operators/common.
+    # emb_valid) that did not fit the round-7 window after its mandatory
+    # claims (16 r6 debt + p30 + the 25-entry r3 tail + p33/p38 bench
+    # promotions + the five slots given to p06/p18/p24/p26/p35).  All
+    # four are r4-latest pipeline entries, so tier-2 cadence puts them
+    # in round 8's window regardless — the debt rows just make the
+    # rewritten=>re-verify lint enforce that explicitly.
+    "p05_dedup_embedding": 7,
+    "p07_ann_lsh": 7,
+    "p08_ann_ivf": 7,
+    "p15_ann_multiprobe": 7,
+}
 
 
 def all_specs() -> dict[str, QuerySpec]:
