@@ -38,6 +38,16 @@ def emb_valid(spark_dialect: bool) -> str:
     return EMB_VALID_SPARK if spark_dialect else EMB_VALID_DUCK
 
 
+# Degenerate-measure policy for events.value (tests/
+# test_degenerate_tables.py): a NaN measure poisons money arithmetic in
+# both engines (FLOOR(NaN*100)::BIGINT raises in DuckDB and under Spark
+# ANSI) and NaN max/sort semantics are engine-specific — so value-reading
+# operators treat NaN as NULL (missing measurement).  The CASE text is
+# valid verbatim in BOTH dialects; isnan(NULL) is false in Spark and NULL
+# in DuckDB, and either way a NULL value maps to NULL.
+VAL_NAN_NULL = "CASE WHEN isnan(value) THEN NULL ELSE value END"
+
+
 def materialize_then_rm(df: DataFrame, *paths: str) -> DataFrame:
     """Collect a small bounded result into an in-memory DataFrame, then
     delete the scratch dirs backing its lineage.

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from sqlrs_spark.operators.common import as_double, dec2, epoch_us, t
+from sqlrs_spark.operators.common import VAL_NAN_NULL, as_double, dec2, epoch_us, t
 from sqlrs_spark.registry import register
 from sqlrs_spark.sources.tables import register_views
 
@@ -224,7 +224,7 @@ def x07_conditional_pivot(spark, sf_dir):
     "x08_json_extract",
     oracle=r"""
     SELECT event_id,
-           CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+           CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS k
     FROM events WHERE event_id < 100 ORDER BY event_id
     """,
     tags=("extension", "expr", "events"),
@@ -239,7 +239,9 @@ def x08_json_extract(spark, sf_dir):
         ev.filter(F.col("event_id") < 100)
         .select(
             "event_id",
-            F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("bigint").alias("k"),
+            F.nullif(F.regexp_extract("props", r'"k":\s*(\d+)', 1), F.lit(""))
+            .cast("bigint")
+            .alias("k"),
         )
         .orderBy("event_id")
     )
@@ -251,7 +253,7 @@ def x08_json_extract(spark, sf_dir):
     SELECT date_trunc('hour', ts) AS hour_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(value::DECIMAL(18,4)) AS DOUBLE) AS total_value
+           CAST(SUM((CASE WHEN isnan(value) THEN NULL ELSE value END)::DECIMAL(18,4)) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
@@ -267,7 +269,7 @@ def x09_events_tumbling(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n"),
-            as_double(F.sum(F.col("value").cast("decimal(18,4)"))).alias("total_value"),
+            as_double(F.sum(F.expr(VAL_NAN_NULL).cast("decimal(18,4)"))).alias("total_value"),
         )
         .orderBy("hour_start", "event_type")
     )
@@ -282,7 +284,7 @@ def x09_events_tumbling(spark, sf_dir):
                        > INTERVAL 30 MINUTE OR
                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sessions AS (
       SELECT user_id, ts,
@@ -301,7 +303,7 @@ def x09_events_tumbling(spark, sf_dir):
 def x10_sessionization(spark, sf_dir):
     """Sessionization: lag-gap flag + running sum (classic Spark pattern).
     Scale: both windows partition by user_id — one shuffle, no global sort."""
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
     lag_ts = F.lag("ts").over(w)
@@ -611,12 +613,12 @@ def x18_funnel(spark, sf_dir):
     oracle="""
     SELECT user_id,
            event_id,
-           CAST(SUM(value::DECIMAL(18,4)) OVER w_run AS DOUBLE)   AS running_total,
-           CAST(SUM(value::DECIMAL(18,4)) OVER w_3 AS DOUBLE)
+           CAST(SUM((CASE WHEN isnan(value) THEN NULL ELSE value END)::DECIMAL(18,4)) OVER w_run AS DOUBLE)   AS running_total,
+           CAST(SUM((CASE WHEN isnan(value) THEN NULL ELSE value END)::DECIMAL(18,4)) OVER w_3 AS DOUBLE)
              / COUNT(*) OVER w_3                                  AS moving_avg_3,
            COUNT(*) OVER w_run                                    AS n_so_far,
-           CAST(MAX(value) OVER w_run AS DOUBLE)                  AS peak_value
-    FROM events
+           CAST(MAX(CASE WHEN isnan(value) THEN NULL ELSE value END) OVER w_run AS DOUBLE)                  AS peak_value
+    FROM events WHERE ts IS NOT NULL
     WINDOW
       w_run AS (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -644,13 +646,13 @@ def x19_running_windows(spark, sf_dir):
         """
         SELECT user_id,
                event_id,
-               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w_run AS DOUBLE)
+               CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,4))) OVER w_run AS DOUBLE)
                                                                  AS running_total,
-               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w_3 AS DOUBLE)
+               CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,4))) OVER w_3 AS DOUBLE)
                  / COUNT(*) OVER w_3                             AS moving_avg_3,
                COUNT(*) OVER w_run                               AS n_so_far,
-               CAST(MAX(value) OVER w_run AS DOUBLE)             AS peak_value
-        FROM events
+               CAST(MAX(CASE WHEN isnan(value) THEN NULL ELSE value END) OVER w_run AS DOUBLE)             AS peak_value
+        FROM events WHERE ts IS NOT NULL
         WINDOW
           w_run AS (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -875,7 +877,7 @@ SELECT user_id % 7 AS bucket,
        COUNT(CASE WHEN event_type = 'purchase' THEN value END) AS purchase_n,
        CAST(SUM(CASE WHEN event_type = 'purchase'
                      THEN value::DECIMAL(18,4) END) AS DOUBLE)     AS purchase_amt
-FROM events
+FROM (SELECT user_id, event_type, CASE WHEN isnan(value) THEN NULL ELSE value END AS value FROM events) events
 GROUP BY bucket
 ORDER BY bucket
 """
@@ -899,7 +901,7 @@ def x25_pivot(spark, sf_dir):
         """
         SELECT * FROM (
           SELECT user_id % 7 AS bucket, event_type,
-                 CAST(value AS DECIMAL(18,4)) AS v
+                 CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,4)) AS v
           FROM events
         )
         PIVOT (COUNT(v) AS n, SUM(v) AS amt
@@ -909,7 +911,11 @@ def x25_pivot(spark, sf_dir):
     )
     cols = [F.col("bucket")]
     for ty in _X25_TYPES:
-        cols.append(F.col(f"{ty}_n"))
+        # PIVOT leaves a NULL cell when a (bucket, type) combination has
+        # no rows at all; the conditional-aggregate form COUNTs it as 0 —
+        # align with COUNT semantics (visible only on degenerate corpora
+        # where NULL event_types empty out combinations)
+        cols.append(F.coalesce(F.col(f"{ty}_n"), F.lit(0)).alias(f"{ty}_n"))
         cols.append(F.col(f"{ty}_amt").cast("double").alias(f"{ty}_amt"))
     return wide.select(*cols).orderBy("bucket")
 
@@ -922,10 +928,10 @@ _X27_SQL = """
 SELECT user_id,
        event_id,
        COUNT(*) OVER w_1h                                      AS n_last_hour,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w_1h AS DOUBLE)
+       CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,4))) OVER w_1h AS DOUBLE)
                                                                AS value_last_hour,
        COUNT(*) OVER w_1d                                      AS n_last_day
-FROM events
+FROM events WHERE ts IS NOT NULL
 WINDOW
   w_1h AS (PARTITION BY user_id ORDER BY ts
            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
@@ -1152,7 +1158,7 @@ winb AS (
 ),
 ev AS (
   SELECT user_id, ts,
-         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_cents,
+         CAST(FLOOR((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100 + 0.5) AS BIGINT) AS v_cents,
          date_trunc('hour', ts) AS bucket
   FROM events
 )
@@ -1178,7 +1184,7 @@ WITH win AS (
 SELECT w.owner,
        COUNT(*) AS n_events,
        COUNT(DISTINCT e.user_id) AS n_users,
-       CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       CAST(SUM(CAST(FLOOR((CASE WHEN isnan(e.value) THEN NULL ELSE e.value END) * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS total_cents
 FROM win w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
 GROUP BY w.owner

@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from sqlrs_spark.functions.hashing import h31_duck, h31_spark
-from sqlrs_spark.operators.common import materialize_then_rm
+from sqlrs_spark.operators.common import VAL_NAN_NULL, materialize_then_rm
 from sqlrs_spark.registry import register
 from sqlrs_spark.sources.tables import TABLES, load_table, register_views
 
@@ -310,7 +310,7 @@ def v10_jsonl_roundtrip(spark, sf_dir):
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(value::DECIMAL(18,4)) AS DOUBLE) AS total_value,
+           CAST(SUM((CASE WHEN isnan(value) THEN NULL ELSE value END)::DECIMAL(18,4)) AS DOUBLE) AS total_value,
            CAST(MIN(event_id) AS BIGINT) AS first_id,
            CAST(MAX(event_id) AS BIGINT) AS last_id
     FROM events
@@ -376,7 +376,7 @@ def v11_partitioned_write(spark, sf_dir):
         back.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            F.sum(F.expr(VAL_NAN_NULL).cast("decimal(18,4)")).cast("double").alias("total_value"),
             F.min("event_id").alias("first_id"),
             F.max("event_id").alias("last_id"),
         )

@@ -30,7 +30,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sqlrs_spark.functions.hashing import h31_duck, md5int_duck
-from sqlrs_spark.operators.common import epoch_us, packed_minmax, t, unpack_id
+from sqlrs_spark.operators.common import VAL_NAN_NULL, epoch_us, packed_minmax, t, unpack_id
 from sqlrs_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -380,11 +380,12 @@ SELECT user_id,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
        event_id,
        event_type AS attr,
-       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+       CAST(FLOOR((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100 + 0.5) AS BIGINT) AS value_cents,
        CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
        CAST(epoch_us(LEAD(ts) OVER w) AS BIGINT) AS valid_to_us,
        LEAD(ts) OVER w IS NULL AS is_current
 FROM events
+WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, version
 """
@@ -411,7 +412,7 @@ def x32_scd2_history(spark, sf_dir):
     skew bounded by the hottest single key, same as x12/x10.
     """
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     nxt = F.lead("ts").over(w)
     return (
         ev.select(
@@ -419,7 +420,7 @@ def x32_scd2_history(spark, sf_dir):
             F.row_number().over(w).cast("bigint").alias("version"),
             "event_id",
             F.col("event_type").alias("attr"),
-            F.floor(F.col("value") * 100 + F.lit(0.5))
+            F.floor(F.expr(VAL_NAN_NULL) * 100 + F.lit(0.5))
             .cast("bigint")
             .alias("value_cents"),
             epoch_us("ts").alias("valid_from_us"),
@@ -444,7 +445,7 @@ WITH iv AS (
   SELECT user_id,
          CAST(epoch_us(ts) AS BIGINT) AS s,
          CAST(epoch_us(ts) AS BIGINT) + {_X33_SPAN_US} AS e
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 sweep AS (
   SELECT user_id, s, e,
@@ -485,7 +486,7 @@ def x33_interval_union(spark, sf_dir):
     completes the interval family (x13/x31 join intervals, x33
     measures their union).
     """
-    iv = t(spark, sf_dir, "events").select(
+    iv = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "user_id",
         epoch_us("ts").alias("s"),
         (epoch_us("ts") + F.lit(_X33_SPAN_US)).alias("e"),

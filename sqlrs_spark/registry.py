@@ -169,6 +169,17 @@ REWRITE_DEBT: dict[str, int] = {
     "p07_ann_lsh": 7,
     "p08_ann_ivf": 7,
     "p15_ann_multiprobe": 7,
+    # events degenerate-table sweep rewrites (NULL-ts / NaN-value policy,
+    # operators/common.VAL_NAN_NULL) outside the full round-7 window.
+    # s02/s03 are r4-latest tier-2 entries due at r8 regardless; the
+    # other five hold r6 rows and the debt forces their r8 rotation:
+    "x31_range_join_bucketed": 7,
+    "x32_scd2_history": 7,
+    "x33_interval_union": 7,
+    "s02_stream_stateful_sessions": 7,
+    "s03_stream_sliding": 7,
+    "s11_stream_cdc_apply": 7,
+    "s12_stream_scd2": 7,
 }
 
 

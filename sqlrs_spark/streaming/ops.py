@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sqlrs_spark.registry import register
+from sqlrs_spark.operators.common import VAL_NAN_NULL
 from sqlrs_spark.session import configure_runtime
 
 _EVENTS_SCHEMA = T.StructType(
@@ -108,8 +109,9 @@ def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(value::DECIMAL(18,4)) AS DOUBLE) AS total_value
+           CAST(SUM((CASE WHEN isnan(value) THEN NULL ELSE value END)::DECIMAL(18,4)) AS DOUBLE) AS total_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
     tags=("pipeline", "streaming"),
@@ -119,13 +121,16 @@ def s01_stream_tumbling(spark, sf_dir):
     driven to completion over the bounded events file. The oracle is the
     batch date_trunc equivalent — streaming and batch must agree exactly
     (same decimal-sum determinism as the batch operators)."""
-    ev = read_events_stream(spark, sf_dir)
+    # degenerate-events policy (tests/test_degenerate_tables.py): rows
+    # without event time cannot enter event-time windows, and NaN measures
+    # are NULL — both engines apply the identical rules
+    ev = read_events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value_dec"),
+            F.sum(F.expr(VAL_NAN_NULL).cast("decimal(18,4)")).alias("total_value_dec"),
         )
         .select(
             F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
@@ -154,7 +159,7 @@ def s01_stream_tumbling(spark, sf_dir):
                     OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                          > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id,
            CAST(SUM(new_session) AS BIGINT) AS n_sessions,
@@ -178,7 +183,9 @@ def s02_stream_stateful_sessions(spark, sf_dir):
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ev = read_events_stream(spark, sf_dir)
+    # rows without event time cannot enter a time-gap session machine;
+    # the oracle drops them identically (degenerate-events policy)
+    ev = read_events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
 
     out_schema = "user_id bigint, n_sessions bigint, n_events bigint"
     state_schema = "last_ts bigint, n_sessions bigint, n_events bigint"
@@ -225,12 +232,13 @@ def run_to_completion_update(stream_df: DataFrame, query_name: str) -> DataFrame
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(value::DECIMAL(18,4)) AS DOUBLE) AS total_value
+           CAST(SUM((CASE WHEN isnan(value) THEN NULL ELSE value END)::DECIMAL(18,4)) AS DOUBLE) AS total_value
     FROM (
-      SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+      SELECT date_trunc('hour', ts) AS ws, event_type, value
+      FROM events WHERE ts IS NOT NULL
       UNION ALL
       SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type, value
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
@@ -247,13 +255,13 @@ def s03_stream_sliding(spark, sf_dir):
     window/slide = 2×; the watermark bounds state eviction, so executor
     memory stays O(active windows × groups) regardless of stream length.
     """
-    ev = read_events_stream(spark, sf_dir)
+    ev = read_events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value_dec"),
+            F.sum(F.expr(VAL_NAN_NULL).cast("decimal(18,4)")).alias("total_value_dec"),
         )
         .select(
             F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
@@ -880,18 +888,31 @@ def s11_emitted(ev):
         best_ts, best_eid, best_cents, best_type, n = (
             state.get if state.exists else (-1, -1, 0, "", 0)
         )
+        import math
+
         for rows in batches:
-            ts_us = rows["ts"].astype("int64") // 1_000  # ns -> micros
+            # NaT views as INT64_MIN: a NULL-ts change loses the argmax to
+            # any timestamped one (both engines sort NULLS LAST under the
+            # oracle's ts DESC) but still counts in n_changes, exactly as
+            # _P27_ORACLE's COUNT(*)/ROW_NUMBER pair does
+            ts_us = rows["ts"].to_numpy().view("int64") // 1_000
             eid = rows["event_id"].astype("int64")
-            cents = (rows["value"] * 100 + 0.5).astype("int64")
+            vals = rows["value"]
             etype = rows["event_type"]
             n += len(rows)
-            for t_us, e, c, ty in zip(ts_us, eid, cents, etype):
+            for t_us, e, v, ty in zip(ts_us, eid, vals, etype):
                 if (t_us, e) > (best_ts, best_eid):
+                    # cents computed for the winner only, NULL-safe: the
+                    # oracle's CAST(FLOOR(NULL * 100 + 0.5)) is NULL
+                    c = (
+                        None
+                        if v is None or math.isnan(v)
+                        else int(math.floor(v * 100 + 0.5))
+                    )
                     best_ts, best_eid, best_cents, best_type = (
                         int(t_us),
                         int(e),
-                        int(c),
+                        c,
                         str(ty),
                     )
         state.update((best_ts, best_eid, best_cents, best_type, int(n)))
@@ -1027,15 +1048,28 @@ def s12_emitted(ev):
             hist = list(zip(ts_a, eid_a, cents_a, attr_a))
         else:
             n_seen, n_finalized, hist = 0, 0, []
+        import math
+
         for rows in batches:
+            # degenerate-events policy: a change without event time cannot
+            # open or close a version (the batch twin x32 filters ts IS
+            # NOT NULL); NaN measures are NULL cents, like the oracle
+            rows = rows[rows["ts"].notna()]
             ts_us = rows["ts"].astype("int64") // 1_000  # ns -> micros
             eid = rows["event_id"].astype("int64")
-            cents = (rows["value"] * 100 + 0.5).astype("int64")
+            vals = rows["value"]
             etype = rows["event_type"]
             n_seen += len(rows)
             hist.extend(
-                (int(t), int(e), int(c), str(a))
-                for t, e, c, a in zip(ts_us, eid, cents, etype)
+                (
+                    int(t),
+                    int(e),
+                    None
+                    if v is None or math.isnan(v)
+                    else int(math.floor(v * 100 + 0.5)),
+                    str(a),
+                )
+                for t, e, v, a in zip(ts_us, eid, vals, etype)
             )
         hist.sort()
         try:
