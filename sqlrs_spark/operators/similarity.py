@@ -843,73 +843,108 @@ def p35_pq_ann(spark, sf_dir):
 _P38_K = 3  # directed neighbors per node before the mutuality filter
 
 
+#: p38 cell sizing: hyperplane bits are chosen so the expected LSH cell
+#: holds about this many vectors — candidate generation is then
+#: O(corpus x cell), LINEAR in the corpus.  Round-7 lesson: the first
+#: p38 shipped a FIXED 8-centroid quantizer, so cells grew with the
+#: corpus and the candidate join was quadratic — 7s at sf0.1 became
+#: 801s at the 10x replica (112x work for 10x data).  The plane pool is
+#: fixed at 16 bits (65k cells), enough for ~4M vectors at 64/cell;
+#: beyond that, raise the pool size — the kbits formula is already
+#: corpus-driven.
+_P38_CELL = 64
+_P38_PLANES = 16
+
+
 def _p38(spark_dialect: bool) -> str:
     """Dual-dialect mutual k-NN graph over the embedding corpus.
 
-    Structure: every vector is assigned to its nearest coarse centroid
-    (p08's frozen 8-centroid quantizer — production swaps in p18's
-    k-means output, same plan), directed k=3 neighbor lists are computed
-    WITHIN each cell, and an edge survives only if it appears in both
-    endpoints' lists (mutual k-NN — the graph SemDeDup-style semantic
-    clustering and graph-based dedup run components over).
+    Structure: every vector hashes map-side into a random-hyperplane LSH
+    cell (p07's md5-derived planes — identical coefficients in both
+    engines), with the number of sign bits chosen FROM THE CORPUS SIZE
+    inside the query (kbits = ceil(log2(n / {_P38_CELL}))), so expected
+    cell size stays ~{_P38_CELL} at any scale.  Directed k={_P38_K}
+    neighbor lists are computed WITHIN each cell, and an edge survives
+    only if it appears in both endpoints' lists (mutual k-NN — the graph
+    SemDeDup-style semantic clustering and graph-based dedup run
+    components over).
 
-    Scale shape: candidate generation is the cent_id equi-join (per-cell
-    O(sum c_i^2), never corpus^2 — the p26 bound; centroid count grows
-    with the corpus to hold cell sizes flat), the directed top-k is a
-    window partitioned on src_id, and mutuality is ONE hash aggregation
-    on the unordered edge key (both directions present <=> count = 2; a
-    knn-self-join formulation would re-run the whole scoring pipeline for
-    the second reference) — every stage shuffle-partitioned, no broadcast
-    of anything that grows.  The two directions' cosines are bit-identical
+    Scale shape: cell assignment is a PROJECTION (no assignment join at
+    all — the round-7 rewrite; the previous fixed-8-centroid quantizer
+    made cells grow with the corpus and candidate generation quadratic:
+    7s -> 801s from sf0.1 to the 10x replica), candidate generation is
+    the cell equi-join (O(corpus x cell-size), AQE splits skewed cells
+    like any equi-join), per-vector self-norms are computed ONCE in the
+    cell projection so each candidate pair folds exactly one
+    vector-length expression, the directed top-k is a window partitioned
+    on src_id, and mutuality is ONE hash aggregation on the unordered
+    edge key (both directions present <=> count = 2; a knn-self-join
+    formulation would re-run the whole scoring pipeline for the second
+    reference).  The two directions' cosines are bit-identical
     (element-wise products commute, association order unchanged), so
     MIN(cosine) is a selector, not an approximation.
     """
     if spark_dialect:
         v = "transform(embedding, x -> cast(x as double))"
+        coef = (
+            "(pmod("
+            + md5int_spark("concat('g', cast(p as string), ':', cast(d as string))")
+            + ", 2001) - 1000) / 1000.0"
+        )
+        plane_dot = (
+            f"aggregate(sequence(1, {_DIM}), cast(0.0 as double), "
+            f"(acc, d) -> acc + ({coef}) * element_at(v, d))"
+        )
+        sig = (
+            f"aggregate(sequence(0, {_P38_PLANES - 1}), cast(0 as bigint), "
+            f"(acc, p) -> acc + if({plane_dot} >= 0, shiftleft(cast(1 as bigint), p), 0))"
+        )
         dot = (
             "aggregate(zip_with({a}.v, {b}.v, (x, y) -> x * y), "
             "cast(0.0 as double), (acc, p) -> acc + p)"
         )
-        dotc = (
-            "aggregate(zip_with(e.v, c.cv, (x, y) -> x * y), "
-            "cast(0.0 as double), (acc, p) -> acc + p)"
-        )
-        norm = "aggregate({s}.v, cast(0.0 as double), (acc, x) -> acc + x * x)"
-        normc = "aggregate(c.cv, cast(0.0 as double), (acc, x) -> acc + x * x)"
+        norm_self = _dot("v", "v", True)
     else:
         v = "embedding::DOUBLE[]"
+        coef = (
+            "(("
+            + md5int_duck("concat('g', p::VARCHAR, ':', d::VARCHAR)")
+            + " % 2001) - 1000) / 1000.0"
+        )
+        plane_dot = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, {_DIM + 1}), d -> ({coef}) * v[d])), "
+            f"(acc, x) -> acc + x)"
+        )
+        sig = (
+            f"list_reduce(list_prepend(0::BIGINT, "
+            f"list_transform(range(0, {_P38_PLANES}), "
+            f"p -> CASE WHEN {plane_dot} >= 0 THEN (1::BIGINT << p) ELSE 0 END)), "
+            f"(acc, x) -> acc + x)"
+        )
         dot = "list_dot_product({a}.v, {b}.v)"
-        dotc = "list_dot_product(e.v, c.cv)"
-        norm = "list_dot_product({s}.v, {s}.v)"
-        normc = "list_dot_product(c.cv, c.cv)"
-    cent_cos = f"{dotc} / sqrt({norm.format(s='e')} * {normc})"
-    pair_cos = (
-        f"{dot.format(a='a', b='b')} / "
-        f"sqrt({norm.format(s='a')} * {norm.format(s='b')})"
-    )
+        norm_self = _dot("v", "v", False)
+    pair_cos = f"{dot.format(a='a', b='b')} / sqrt(a.nrm * b.nrm)"
     return f"""
-WITH e AS (SELECT vec_id, {v} AS v FROM embeddings WHERE {emb_valid(spark_dialect)}),
-cents AS (
-  SELECT vec_id AS cent_id, v AS cv FROM e
-  WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _N_CENTROIDS}
+WITH e AS (
+  SELECT vec_id, v, {norm_self} AS nrm, {sig} AS sig
+  FROM (SELECT vec_id, {v} AS v FROM embeddings WHERE {emb_valid(spark_dialect)}) base
 ),
-assign AS (
-  SELECT vec_id, cent_id FROM (
-    SELECT e.vec_id, c.cent_id,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY {cent_cos} DESC, c.cent_id) AS rn
-    FROM e JOIN cents c ON true
-  ) t WHERE rn = 1
+kb AS (
+  SELECT CAST(POW(2.0, GREATEST(0.0, CEIL(LOG2(GREATEST(COUNT(*), 1)
+                                             / {_P38_CELL}.0)))) AS BIGINT)
+           AS n_cells
+  FROM e
+),
+cells AS (
+  SELECT vec_id, v, nrm, sig % kb.n_cells AS cell FROM e CROSS JOIN kb
 ),
 knn AS (
   SELECT src_id, dst_id, cosine FROM (
-    SELECT aa.vec_id AS src_id, ab.vec_id AS dst_id, {pair_cos} AS cosine,
-           ROW_NUMBER() OVER (PARTITION BY aa.vec_id
-                              ORDER BY {pair_cos} DESC, ab.vec_id) AS rk
-    FROM assign aa
-    JOIN assign ab ON aa.cent_id = ab.cent_id AND aa.vec_id <> ab.vec_id
-    JOIN e a ON a.vec_id = aa.vec_id
-    JOIN e b ON b.vec_id = ab.vec_id
+    SELECT a.vec_id AS src_id, b.vec_id AS dst_id, {pair_cos} AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY {pair_cos} DESC, b.vec_id) AS rk
+    FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
   ) d WHERE rk <= {_P38_K}
 )
 SELECT src_id, dst_id, cosine FROM (

@@ -501,17 +501,26 @@ def test_p37_no_full_corpus_sort(spark, sf_dir):
 def test_p38_single_scoring_pass_and_no_unbounded_nlj(spark, sf_dir):
     """p38's mutuality must come from the unordered-edge aggregation, not
     a knn-self-join (which would duplicate the whole scoring pipeline):
-    exactly one cent_id candidate join and one directed-top-k window.
-    The only nested-loop joins allowed are the 8-row centroid assigns."""
+    exactly one cell candidate equi-join and one directed-top-k window.
+    Cell assignment is a projection (round-7 rewrite: adaptive LSH bits,
+    no assignment join) — the only nested-loop joins allowed are the two
+    1-row kbits broadcasts."""
     df = SPECS["p38_knn_graph"].fn(spark, sf_dir)
     s = explain_str(df)
     assert "CartesianProduct" not in s
-    # 3 windows = the two inlined centroid assigns (aa, ab — each a
-    # bounded 8-candidates-per-vector rn=1) + ONE directed top-k; a
-    # knn-self-join would double the top-k window and the cent_id join
-    assert count_nodes(df, "Window") == 3, "knn pipeline must not run twice"
-    assert count_nodes(df, "SortMergeJoin") + count_nodes(df, "ShuffledHashJoin") == 1
-    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 2  # aa + ab assigns
+    # exactly ONE window: the directed top-k; a knn-self-join would
+    # double it (and the cell join)
+    assert count_nodes(df, "Window") == 1, "knn pipeline must not run twice"
+    # exactly ONE cell equi-join, whatever physical strategy the stats
+    # pick (broadcast at toy SFs, shuffle at scale)
+    equi = (
+        count_nodes(df, "SortMergeJoin")
+        + count_nodes(df, "ShuffledHashJoin")
+        + count_nodes(df, "BroadcastHashJoin")
+    )
+    assert equi == 1, f"expected one cell candidate join, saw {equi}"
+    # the 1-row n_cells scalar broadcast under each `cells` reference
+    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 2
 
 
 def test_m09_alignment_is_windowed_not_pair_joined(spark, sf_dir):
