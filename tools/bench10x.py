@@ -32,6 +32,7 @@ import argparse
 import json
 import os
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -107,30 +108,50 @@ def build_replica(spark, dst: str, factor: int) -> None:
     open(done_marker, "w").write(stamp)
 
 
-def bench_duckdb(specs, dst: str) -> dict[str, float]:
+def bench_duckdb(specs, dst: str) -> tuple[dict[str, float], dict[str, str]]:
     import duckdb
 
     con = duckdb.connect()
     con.execute(f"SET threads={os.cpu_count() or 4}")
+    # An in-memory duckdb connection has NO temp_directory, so memory-
+    # heavy operators cannot spill and die with a hard bad_alloc instead
+    # (first hit: p33's 750M-span coverage window at the 100x replica
+    # took the whole bench process down mid-artifact).  Give the baseline
+    # the same courtesy Spark gets (RAM-backed local dirs + spill): an
+    # explicit spill dir and a memory ceiling that leaves room for the
+    # page-cached replica.
+    spill = os.path.join(tempfile.gettempdir(), "sqlrs_duck_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
+    con.execute("SET memory_limit='64GB'")
     for t in list(SHIFT_COLS) + COPY_ONCE:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet/*.parquet'"
         )
     timings: dict[str, float] = {}
+    dnf: dict[str, str] = {}
     for s in specs:
         if not s.oracle:
             continue
-        # .arrow(): same columnar materialization contract the Spark side
-        # is timed on (df.toArrow)
-        con.execute(s.oracle).arrow()  # warm (I/O cache, plan)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            con.execute(s.oracle).arrow()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            # .arrow(): same columnar materialization contract the Spark
+            # side is timed on (df.toArrow)
+            con.execute(s.oracle).arrow()  # warm (I/O cache, plan)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(s.oracle).arrow()
+                best = min(best, time.perf_counter() - t0)
+        except duckdb.Error as e:
+            # one baseline query dying must not zero out the artifact:
+            # record the DNF honestly and keep timing the rest (the
+            # ratio set simply excludes the query at this factor)
+            dnf[s.name] = f"{type(e).__name__}: {str(e)[:200]}"
+            print(f"# duckdb {s.name}: DNF ({dnf[s.name]})", file=sys.stderr)
+            continue
         timings[s.name] = round(best, 4)
         print(f"# duckdb {s.name}: {best:.3f}s", file=sys.stderr)
-    return timings
+    return timings, dnf
 
 
 def bench_bucketed(spark, dst: str, only: str | None = None) -> dict[str, float]:
@@ -395,7 +416,7 @@ def main() -> None:
     spark, specs, spark_t = bench_spark(dst, app=f"sqlrs_spark_bench{args.factor}x")
     bucketed_t = {} if args.skip_bucketed else bench_bucketed(spark, dst)
     spark.stop()
-    duck_t = bench_duckdb(specs, dst)
+    duck_t, duck_dnf = bench_duckdb(specs, dst)
 
     # DuckDB-side timings swing on shared hardware between rounds (r3: q03
     # oracle 22.9s→4.2s with unchanged SQL) — flag >1.5× swings vs the
@@ -464,6 +485,10 @@ def main() -> None:
         " multi-file layout)",
     }
     result["driver_heap_gb"] = heap_gb
+    if duck_dnf:
+        # baseline queries that died (e.g. OOM) — their ratios are absent
+        # at this factor, not silently one-sided
+        result["duckdb_dnf"] = duck_dnf
     if drift:
         result["duckdb_drift"] = drift
     if bucketed_t:
