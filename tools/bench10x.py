@@ -127,19 +127,23 @@ def build_replica(spark, dst: str, factor: int) -> None:
     open(done_marker, "w").write(stamp)
 
 
-def bench_duckdb(specs, dst: str) -> tuple[dict[str, float], dict[str, str]]:
+def _duck_con(dst: str):
+    """A fresh baseline connection per QUERY, not per sweep.
+
+    An in-memory duckdb connection has NO temp_directory, so memory-
+    heavy operators cannot spill and die with a hard bad_alloc instead
+    (first hit: p33's 750M-span coverage window at the 100x replica
+    took the whole bench process down mid-artifact).  And the connection
+    must be per-query: p33/p38 complete standalone under the same 100GB
+    ceiling (measured: 33s/336s at 100x) but DNF when the 10 preceding
+    queries' allocator state is still resident — one long-lived
+    connection accumulates enough fragmentation to eat the ceiling.
+    Per-query isolation is also the protocol symmetry: the Spark side's
+    suspicious numbers get fresh pre-warmed JVMs (fresh-retry)."""
     import duckdb
 
     con = duckdb.connect()
     con.execute(f"SET threads={os.cpu_count() or 4}")
-    # An in-memory duckdb connection has NO temp_directory, so memory-
-    # heavy operators cannot spill and die with a hard bad_alloc instead
-    # (first hit: p33's 750M-span coverage window at the 100x replica
-    # took the whole bench process down mid-artifact).  Give the baseline
-    # the same courtesy Spark gets (RAM-backed local dirs + spill): an
-    # explicit spill dir and a near-box memory ceiling (the duck phase
-    # runs with the JVM stopped; 64GB still DNF'd p33/p38 at 100x on
-    # non-spillable operator state, 100GB completes both — measured).
     spill = os.path.join(tempfile.gettempdir(), "sqlrs_duck_spill")
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")
@@ -148,12 +152,19 @@ def bench_duckdb(specs, dst: str) -> tuple[dict[str, float], dict[str, str]]:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet/*.parquet'"
         )
+    return con
+
+
+def bench_duckdb(specs, dst: str) -> tuple[dict[str, float], dict[str, str]]:
+    import duckdb
+
     timings: dict[str, float] = {}
     dnf: dict[str, str] = {}
     for s in specs:
         if not s.oracle:
             continue
         try:
+            con = _duck_con(dst)
             # .arrow(): same columnar materialization contract the Spark
             # side is timed on (df.toArrow)
             w0 = time.perf_counter()
@@ -166,6 +177,7 @@ def bench_duckdb(specs, dst: str) -> tuple[dict[str, float], dict[str, str]]:
                 t0 = time.perf_counter()
                 con.execute(s.oracle).arrow()
                 best = min(best, time.perf_counter() - t0)
+            con.close()
         except duckdb.Error as e:
             # one baseline query dying must not zero out the artifact:
             # record the DNF honestly and keep timing the rest (the
