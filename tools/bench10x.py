@@ -163,6 +163,7 @@ def bench_duckdb(specs, dst: str) -> tuple[dict[str, float], dict[str, str]]:
     for s in specs:
         if not s.oracle:
             continue
+        con = None
         try:
             con = _duck_con(dst)
             # .arrow(): same columnar materialization contract the Spark
@@ -181,7 +182,16 @@ def bench_duckdb(specs, dst: str) -> tuple[dict[str, float], dict[str, str]]:
         except duckdb.Error as e:
             # one baseline query dying must not zero out the artifact:
             # record the DNF honestly and keep timing the rest (the
-            # ratio set simply excludes the query at this factor)
+            # ratio set simply excludes the query at this factor).
+            # CLOSE the failed connection: a DNF'd query's connection
+            # still pins its allocated state (measured: p33's 1000x DNF
+            # left ~65 GB resident, and the kernel OOM-killed the whole
+            # bench during the later fresh-retry JVMs)
+            if con is not None:
+                try:
+                    con.close()
+                except Exception:
+                    pass
             dnf[s.name] = f"{type(e).__name__}: {str(e)[:200]}"
             print(f"# duckdb {s.name}: DNF ({dnf[s.name]})", file=sys.stderr)
             continue
