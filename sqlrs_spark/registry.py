@@ -59,92 +59,71 @@ def register(
 # t01-t08/t10, m01/m02/m04/m06, s01-s07 keep their green r2 rows + the
 # local parity suite).  Rotated in, by reason:
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-7 curation.  Slot arithmetic moved to a THREE-TIER cadence
-    # this round (tests/test_registry_window.py — VERDICT r6 #2: the old
-    # two-tier 3/4 cadence demanded 47.8 of 50 steady-state slots at 163
-    # entries, and r7's acute demand was 66): bench-flagged re-row every
-    # <=3 rounds, non-bench p/t/m/s every <=4, q/x/v every <=5.  Steady
-    # demand 18/3 + 67/4 + 78/5 = 38.4 of 50, lint-asserted live by
-    # test_cadence_demand_fits_window.
-    # (a) the 16 REWRITE_DEBT entries (degenerate-corpus NULL-guard
-    # rewrites, a46d7f7, AFTER their latest rows) — VERDICT r6 #1's first
-    # claim; the debt dict is emptied by this rotation:
-    "p04_dedup_ngram",
-    "p09_dedup_clusters",
-    "p19_rag_prep",
-    "p23_pps_sample",
-    "t03_quality_score",
-    "t04_fingerprint",
-    "t05_chunking",
-    "t06_repetition",
-    "m01_multimodal_meta",
-    "m02_frame_sample",
-    "m03_fake_embed",
-    "m04_resize",
-    "m05_image_neardup",
-    "m06_audio_windows",
-    "m07_patch_grid",
-    "m08_scene_change",
-    # (a') p30: round-6 ADVICE — its feature SQL constants gained the
-    # NULL-text guard after its r5 row; caught by the constant-aware
-    # fingerprint this round (tests/test_registry_window.py
-    # _fn_closure_src now walks module-level constants):
-    "p30_quality_budget_select",
-    # (b) the ENTIRE 25-entry r3 tail (VERDICT r6 #3): all hit the old
-    # 4-round cadence boundary the moment this round's artifact lands.
-    # Cleared in one pass rather than amortized under the new tier-3
-    # cadence — no entry's latest row is older than r4 after r7:
-    "v03_ddl_roundtrip",
-    "v09_partitioned_sink",
-    "v10_jsonl_roundtrip",
-    "v11_partitioned_write",
-    "v12_orc_roundtrip",
-    "x04_window_topk",
-    "x06_rollup",
-    "x07_conditional_pivot",
-    "x08_json_extract",
-    "x09_events_tumbling",
-    "x10_sessionization",
-    "x11_correlated_subquery",
-    "x13_range_join",
-    "x14_quantiles",
-    "x16_retention_cohorts",
-    "x17_grouping_sets",
-    "x19_running_windows",
-    "x20_correlated_subqueries",
-    "x21_recursive_cte",
-    "x22_lateral_topn",
-    "x23_unpivot",
-    "x24_dist_windows",
-    "x25_pivot",
-    "x26_bucketed_fact_join",
-    "x27_range_windows",
-    # (c) oldest-r4 fills, 8 slots: the displaced round-6 fills
-    # (s01/s07/s10/p27) plus the head of the deferred-r4 pipeline list
-    # (p02/p03/t02/t13).  The remaining r4 pipeline entries (p05, p07/
-    # p08, p12/p14/p15, p17/p21/p22, s02-s06, t07/t08/t10, m-entries
-    # already in (a)) keep r4 rows — legal under tier-2 <=4 until r8,
-    # where they are the documented first claim (~18 slots) alongside
-    # the r5-latest bench entries (q01/q06/q22/q34/t01/t09/x12/x18,
-    # 8 slots):
-    "s01_stream_tumbling",
-    # (c') rewritten mid-round-7 by the embeddings degenerate-table sweep
-    # (tests/test_degenerate_tables.py — the shared NULL/zero-norm/NaN
-    # validity filter, operators/common.emb_valid): the five slots the
-    # r4 advance-fills s07/s10/p27/p02/p03 held go to the rewritten ops
-    # instead (the displaced fills keep r4 rows, legal under tier-2 <=4
-    # until r8); the remaining four rewrites (p05/p07/p08/p15) are r4
-    # pipeline entries already due at r8 and sit in REWRITE_DEBT:
-    "p06_ann_bruteforce",
-    "p18_ann_ivf_kmeans",
-    "p24_embedding_quant",
-    "p26_semantic_dedup",
-    "p35_pq_ann",
-    # (d) promoted to the bench headline set this round (VERDICT r6 #7:
-    # the heaviest round-6 plans get scale trend lines) — the bench flag
-    # edits their decorators, so the rewrite lint demands fresh rows:
-    "p33_span_scrub",
-    "p38_knn_graph",
+    # Round-8 curation (first commit of the round — VERDICT r7 #2).  The
+    # staleness lint's off-by-one was fixed alongside (r7 ADVICE high:
+    # threshold is now latest < R - (C - 1), effective cadence C as
+    # advertised), so this window is exactly the lint's r8 claim:
+    # (a) the 8 r5-latest TIER-1 (bench-flagged, cadence <=3) entries:
+    "q01_pricing_summary",
+    "q06_simple_agg",
+    "q22_volume_shipping",
+    "q34_min_cost_supplier",
+    "t01_token_count",
+    "t09_unicode_clean",
+    "x12_asof_join",
+    "x18_funnel",
+    # (b) the 24 r4-latest TIER-2 (pipeline, cadence <=4) entries — the
+    # deferred-r4 tail registry.py has named since r7, due in full now:
+    "p02_dedup_minhash",
+    "p03_dedup_simhash",
+    "p05_dedup_embedding",
+    "p07_ann_lsh",
+    "p08_ann_ivf",
+    "p12_stratified_sample",
+    "p14_domain_mix",
+    "p15_ann_multiprobe",
+    "p17_decontaminate",
+    "p21_fuzzy_vocab",
+    "p22_temperature_mix",
+    "p27_cdc_upsert",
+    "s02_stream_stateful_sessions",
+    "s03_stream_sliding",
+    "s04_stream_dedup",
+    "s05_stream_static_join",
+    "s06_stream_funnel",
+    "s07_stream_stream_join",
+    "s10_stream_session_window",
+    "t02_language_id",
+    "t07_pattern_scrub",
+    "t08_quality_rules",
+    "t10_boilerplate",
+    "t13_ngram_containment",
+    # (c) the 5 REWRITE_DEBT(7) entries not already claimed by (b)
+    # (p05/p07/p08/p15/s02/s03 are in (b); rotating all 11 empties the
+    # debt dict — the events-sweep rewrites finally get fresh rows):
+    "s11_stream_cdc_apply",
+    "s12_stream_scd2",
+    "x31_range_join_bucketed",
+    "x32_scd2_history",
+    "x33_interval_union",
+    # (d) 13 prefills from the r9-due set (tier-2 r5-latest, tier-3
+    # r4-latest, and two r6 tier-1 bench entries), smoothing next round's
+    # demand.  These are the SWAP POOL: a mid-round rewrite (star-schema
+    # degenerate sweep, new ops) takes a slot from here first — every
+    # prefill keeps a row legal under its tier cadence until r9:
+    "p10_dedup_canonical",
+    "p25_split_assign",
+    "p28_filter_cascade",
+    "p29_snapshot_diff",
+    "s08_stream_foreachbatch_sink",
+    "s09_stream_stream_outer_join",
+    "t11_ngram_novelty",
+    "t12_unigram_lm_score",
+    "t14_vocab_growth",
+    "v04_csv_roundtrip",
+    "x28_qualify_topk",
+    "q03_shipping_priority",
+    "p16_dedup_minhash_capped",
 )
 
 
@@ -158,28 +137,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # DRIVER_WINDOW and emptied the dict — keep it empty unless a mid-round
 # rewrite genuinely cannot claim a window slot.
 REWRITE_DEBT: dict[str, int] = {
-    # embeddings degenerate-table sweep rewrites (operators/common.
-    # emb_valid) that did not fit the round-7 window after its mandatory
-    # claims (16 r6 debt + p30 + the 25-entry r3 tail + p33/p38 bench
-    # promotions + the five slots given to p06/p18/p24/p26/p35).  All
-    # four are r4-latest pipeline entries, so tier-2 cadence puts them
-    # in round 8's window regardless — the debt rows just make the
-    # rewritten=>re-verify lint enforce that explicitly.
-    "p05_dedup_embedding": 7,
-    "p07_ann_lsh": 7,
-    "p08_ann_ivf": 7,
-    "p15_ann_multiprobe": 7,
-    # events degenerate-table sweep rewrites (NULL-ts / NaN-value policy,
-    # operators/common.VAL_NAN_NULL) outside the full round-7 window.
-    # s02/s03 are r4-latest tier-2 entries due at r8 regardless; the
-    # other five hold r6 rows and the debt forces their r8 rotation:
-    "x31_range_join_bucketed": 7,
-    "x32_scd2_history": 7,
-    "x33_interval_union": 7,
-    "s02_stream_stateful_sessions": 7,
-    "s03_stream_sliding": 7,
-    "s11_stream_cdc_apply": 7,
-    "s12_stream_scd2": 7,
+    # Round-8 curation rotated all eleven round-7 debt entries (p05/p07/
+    # p08/p15, x31-x33, s02/s03/s11/s12) into DRIVER_WINDOW — debt paid,
+    # dict empty.  A mid-round-8 rewrite should take a slot from the
+    # window's swap pool (section (d)) before registering new debt here.
 }
 
 
