@@ -71,6 +71,12 @@ SKIP_AT_FACTOR: dict[str, tuple[int, str]] = {
         " (~32B at 1000x, ~1h/execution in both engines); trend recorded"
         " at 10x/100x",
     ),
+    "p40_semantic_clusters": (
+        1000,
+        "embeds p38's candidate pipeline (connected components over its"
+        " mutual-kNN edges), so it inherits p38's exact-duplicate replica"
+        " degeneracy at 1000x; trend recorded at 10x/100x",
+    ),
 }
 
 
@@ -155,47 +161,71 @@ def _duck_con(dst: str):
     return con
 
 
-def bench_duckdb(specs, dst: str) -> tuple[dict[str, float], dict[str, str]]:
-    import duckdb
+def duck_one(name: str, dst: str) -> None:
+    """Subprocess entry: time ONE baseline query in its own process and
+    print 'DUCKRES <name> <best>'.  Process isolation, not just
+    connection isolation: r7/r8's 1000x runs both died the same way —
+    p33's DNF hit the 100GB ceiling INSIDE the parent python, and even
+    with the connection closed (6d79943) glibc never returns the ~65 GB
+    of freed arena pages to the OS, so the parent sat at 64 GB RSS and
+    the kernel OOM-killed it under the later fresh-retry JVMs.  A child
+    process gives every byte back on exit, unconditionally."""
+    from sqlrs_spark.registry import all_specs
+
+    spec = all_specs()[name]
+    con = _duck_con(dst)
+    # .arrow(): same columnar materialization contract the Spark side is
+    # timed on (df.toArrow)
+    w0 = time.perf_counter()
+    con.execute(spec.oracle).arrow()  # warm (I/O cache, plan)
+    warm_s = time.perf_counter() - w0
+    # same slow-query protocol as bench.bench_spark: one timed rep past
+    # a 2-minute warm run
+    best = float("inf")
+    for _ in range(1 if warm_s > 120 else 2):
+        t0 = time.perf_counter()
+        con.execute(spec.oracle).arrow()
+        best = min(best, time.perf_counter() - t0)
+    con.close()
+    print(f"DUCKRES {name} {round(best, 4)}")
+
+
+def bench_duckdb(specs, dst: str, factor: int) -> tuple[dict[str, float], dict[str, str]]:
+    import subprocess
 
     timings: dict[str, float] = {}
     dnf: dict[str, str] = {}
     for s in specs:
         if not s.oracle:
             continue
-        con = None
-        try:
-            con = _duck_con(dst)
-            # .arrow(): same columnar materialization contract the Spark
-            # side is timed on (df.toArrow)
-            w0 = time.perf_counter()
-            con.execute(s.oracle).arrow()  # warm (I/O cache, plan)
-            warm_s = time.perf_counter() - w0
-            # same slow-query protocol as bench.bench_spark: one timed
-            # rep past a 2-minute warm run
-            best = float("inf")
-            for _ in range(1 if warm_s > 120 else 2):
-                t0 = time.perf_counter()
-                con.execute(s.oracle).arrow()
-                best = min(best, time.perf_counter() - t0)
-            con.close()
-        except duckdb.Error as e:
+        r = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--duck-one",
+                s.name,
+                "--factor",
+                str(factor),
+                "--dir",
+                dst,
+            ],
+            capture_output=True,
+            text=True,
+        )
+        best = None
+        for line in r.stdout.splitlines():
+            if line.startswith(f"DUCKRES {s.name} "):
+                best = float(line.split()[-1])
+                break
+        if best is None:
             # one baseline query dying must not zero out the artifact:
             # record the DNF honestly and keep timing the rest (the
-            # ratio set simply excludes the query at this factor).
-            # CLOSE the failed connection: a DNF'd query's connection
-            # still pins its allocated state (measured: p33's 1000x DNF
-            # left ~65 GB resident, and the kernel OOM-killed the whole
-            # bench during the later fresh-retry JVMs)
-            if con is not None:
-                try:
-                    con.close()
-                except Exception:
-                    pass
-            dnf[s.name] = f"{type(e).__name__}: {str(e)[:200]}"
+            # ratio set simply excludes the query at this factor)
+            tail = (r.stderr or "").strip().splitlines()
+            dnf[s.name] = (tail[-1] if tail else f"exit {r.returncode}")[:200]
             print(f"# duckdb {s.name}: DNF ({dnf[s.name]})", file=sys.stderr)
             continue
-        timings[s.name] = round(best, 4)
+        timings[s.name] = best
         print(f"# duckdb {s.name}: {best:.3f}s", file=sys.stderr)
     return timings, dnf
 
@@ -410,12 +440,21 @@ def main() -> None:
         help="time ONE query in this fresh process and exit (the fresh-retry"
         " subprocess entry; expects the replica to already exist)",
     )
+    ap.add_argument(
+        "--duck-one",
+        default=None,
+        help="time ONE DuckDB baseline query in this process and exit (the"
+        " per-query baseline subprocess entry; see duck_one)",
+    )
     args = ap.parse_args()
     dst = args.dir or f"/tmp/sqlrs_replica{args.factor}x"
     out = os.path.join(REPO, f"BENCH{args.factor}X_r{args.round:02d}.json")
 
     if args.fresh_one:
         fresh_one(args.fresh_one, dst)
+        return
+    if args.duck_one:
+        duck_one(args.duck_one, dst)
         return
 
     from bench import bench_conf, bench_spark, total_bytes, verify_heap
@@ -469,7 +508,22 @@ def main() -> None:
     )
     bucketed_t = {} if args.skip_bucketed else bench_bucketed(spark, dst)
     spark.stop()
-    duck_t, duck_dnf = bench_duckdb(specs, dst)
+    duck_t, duck_dnf = bench_duckdb(specs, dst, args.factor)
+
+    # checkpoint the phase results so a death in the fresh-retry phase
+    # (two rounds of 1000x runs died exactly there) still leaves the
+    # sweep + baseline numbers on disk; removed on successful completion
+    with open(out + ".partial", "w") as f:
+        json.dump(
+            {
+                "queries": spark_t,
+                "bucketed": bucketed_t,
+                "duckdb_queries": duck_t,
+                "duckdb_dnf": duck_dnf,
+            },
+            f,
+            indent=2,
+        )
 
     # DuckDB-side timings swing on shared hardware between rounds (r3: q03
     # oracle 22.9s→4.2s with unchanged SQL) — flag >1.5× swings vs the
@@ -557,6 +611,8 @@ def main() -> None:
     print(line)
     with open(out, "w") as f:
         f.write(json.dumps(result, indent=2) + "\n")
+    if os.path.exists(out + ".partial"):
+        os.remove(out + ".partial")
     print(f"# wrote {out}", file=sys.stderr)
 
 
