@@ -282,22 +282,34 @@ def q30_customer_distribution(spark, sf_dir):
 
     Reference ops: left outer join keeping unmatched build rows
     (hash_join.rs:194-206), hash agg.  Spark plan: instead of the naive
-    join-then-count (which shuffles the full customer×orders join), orders
-    pre-aggregates to one row per custkey (map-side partial combine),
-    then LEFT joins customer — the join input is |customers| + |custkeys|,
+    join-then-count (which shuffles the full customer×orders join), BOTH
+    sides pre-aggregate to one row per custkey (map-side partial
+    combine), then LEFT join — the join input is |custkeys| + |custkeys|,
     not |orders|.  The second agg groups ~100 distinct counts — broadcast-
-    scale.  COUNT(o_orderkey) over no match = 0 ≡ coalesce(cnt, 0).
+    scale.  Exact equivalence to the oracle's join-then-group (r8
+    star-schema sweep): the oracle groups the JOINED rows by c_custkey,
+    so (a) a duplicated custkey multiplies its order count by its copy
+    count (copies x cnt) but still forms ONE group, and (b) only
+    non-NULL o_orderkey matches count — COUNT(o_orderkey), not
+    COUNT(*).  On a unique-key customer table both reduce to the old
+    coalesce(cnt, 0) form.
     """
-    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    cust_g = (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("copies"))
+    )
     per_cust = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") != "1-URGENT")
         .groupBy("o_custkey")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.count("o_orderkey").alias("cnt"))
     )
     return (
-        cust.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
-        .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
+        cust_g.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            (F.col("copies") * F.coalesce(F.col("cnt"), F.lit(0))).alias("c_count")
+        )
         .groupBy("c_count")
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())

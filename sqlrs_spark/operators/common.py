@@ -203,13 +203,17 @@ def packed_minmax(value: Column, id_col: Column) -> Column:
     coincides exactly with the struct's lexicographic order (min value
     first, min id as tie-break; symmetrically for max).
 
-    Bounds: value < 1e21 (money cents: max TPC-H extendedprice ~1e7
-    cents — 14 orders of headroom) and id < 1e15.  The cast width is the
-    binding bound: DECIMAL(21,0) * DECIMAL(16,0) -> DECIMAL(38,0) is the
-    widest product that avoids Spark's precision-loss rewrite, so the
-    arithmetic is exact in range; out of range, ANSI mode fails loudly,
-    non-ANSI nulls the row out of the MIN/MAX (degraded, not mis-ordered
-    — a NULL never wins an argmin).
+    Bounds: |value| < 1e21 (money cents: max TPC-H extendedprice ~1e7
+    cents — 14 orders of headroom) and 0 <= id < 1e15.  The VALUE may be
+    negative (r8 star-schema sweep: negative prices): for v1 < v2,
+    (v1-v2)*base <= -base < id2-id1 for any in-range ids, so decimal
+    order still equals (value, id) lexicographic order at any signs —
+    the unpackers use floor-mod to recover the fields (see unpack_id).
+    The cast width is the binding bound: DECIMAL(21,0) * DECIMAL(16,0)
+    -> DECIMAL(38,0) is the widest product that avoids Spark's
+    precision-loss rewrite, so the arithmetic is exact in range; out of
+    range, ANSI mode fails loudly, non-ANSI nulls the row out of the
+    MIN/MAX (degraded, not mis-ordered — a NULL never wins an argmin).
     """
     v = value.cast("decimal(21,0)")
     base = F.lit(_PACK_BASE).cast("decimal(16,0)")
@@ -217,8 +221,15 @@ def packed_minmax(value: Column, id_col: Column) -> Column:
 
 
 def unpack_id(packed: Column) -> Column:
-    """Low (id) field of a :func:`packed_minmax` value, as BIGINT."""
-    return (packed % _PACK_BASE).cast("long")
+    """Low (id) field of a :func:`packed_minmax` value, as BIGINT.
+
+    pmod, not ``%``: for a NEGATIVE packed value (a legal negative
+    orderand — e.g. the r8 star-schema sweep's negative prices; see
+    packed_minmax's bounds note) truncating remainder returns
+    ``id - base``, so the id join silently loses the row.  Floor-mod
+    recovers the id for any sign of the value field.
+    """
+    return F.pmod(packed, F.lit(_PACK_BASE).cast("decimal(16,0)")).cast("long")
 
 
 def unpack_value(packed: Column) -> Column:
@@ -227,8 +238,10 @@ def unpack_value(packed: Column) -> Column:
     Subtract-then-divide keeps the decimal division remainder-free, so
     the quotient is exact at any result scale (a bare ``floor(p/base)``
     can round up at the division's display scale before floor sees it).
+    pmod for the same negative-value reason as :func:`unpack_id`.
     """
-    return ((packed - packed % _PACK_BASE) / _PACK_BASE).cast("long")
+    pm = F.pmod(packed, F.lit(_PACK_BASE).cast("decimal(16,0)"))
+    return ((packed - pm) / _PACK_BASE).cast("long")
 
 
 # Semantic-keyed memo of measured reductions, LRU-capped.  Two jobs at

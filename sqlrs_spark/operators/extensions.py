@@ -42,16 +42,22 @@ def x01_semi_join(spark, sf_dir):
 
 @register(
     "x02_anti_join",
+    # NOT EXISTS, not NOT IN: the operator is Spark's left_anti, whose
+    # semantics are NOT EXISTS — a NULL o_custkey anywhere makes NOT IN
+    # return zero rows under 3VL while the anti join (and NOT EXISTS)
+    # still keeps every unmatched customer (r8 star-schema sweep finding;
+    # the old NOT IN oracle was only equivalent on NULL-free clean data)
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_cust_no_orders
-    FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     tags=("extension", "join"),
 )
 def x02_anti_join(spark, sf_dir):
-    """LEFT ANTI join (NOT EXISTS). o_custkey is non-null so NOT IN ≡ anti."""
+    """LEFT ANTI join ≡ NOT EXISTS (NULL-key-robust; a NOT IN oracle
+    would empty out under any NULL o_custkey)."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     return (
@@ -192,7 +198,8 @@ def x06_rollup(spark, sf_dir):
            COUNT(*) FILTER (event_type = 'view')     AS views,
            COUNT(*) FILTER (event_type = 'purchase') AS purchases,
            CAST(SUM(CASE WHEN event_type = 'purchase'
-                         THEN value::DECIMAL(18,4) ELSE 0 END) AS DOUBLE) AS purchase_value
+                         THEN (CASE WHEN isnan(value) THEN NULL ELSE value END)::DECIMAL(18,4)
+                         ELSE 0 END) AS DOUBLE) AS purchase_value
     FROM events
     GROUP BY 1 ORDER BY 1
     """,
@@ -201,7 +208,10 @@ def x06_rollup(spark, sf_dir):
 def x07_conditional_pivot(spark, sf_dir):
     """Pivot-style conditional aggregation over the events stream table."""
     ev = t(spark, sf_dir, "events")
-    val4 = F.col("value").cast("decimal(18,4)")
+    # NaN -> NULL before the decimal cast in both dialects (a NaN purchase
+    # is reachable: r8 degenerate-events user 12; DuckDB's cast errors,
+    # Spark's nulls — VAL_NAN_NULL pins the shared policy)
+    val4 = F.expr(VAL_NAN_NULL).cast("decimal(18,4)")
     return (
         ev.groupBy((F.col("user_id") % 100).alias("user_bucket"))
         .agg(
@@ -416,7 +426,10 @@ def x15_approx_sketches(spark, sf_dir):
     sketch misses by orders of magnitude and still trips 5 sigma.
     approx_percentile at accuracy=1000
     advertises rank error <= 1/accuracy, checked with a 5x margin — the
-    estimate must lie between the exact percentiles at p +/- 0.005.  The
+    estimate must lie between the exact percentiles at p +/- 0.005
+    (groups under 1000 measures degrade to min/max membership — the
+    interpolated band is narrower than one rank there; see pct_within).
+    The
     exact sides ride the same grouped pass (one extra distinct expansion
     + one exact percentile sort per group — affordable at driver-check
     SFs; production use keeps just the sketch columns).  Scale note: at
@@ -440,25 +453,38 @@ def x15_approx_sketches(spark, sf_dir):
         pct[2].alias("est_p99"),
         ex.alias("exb"),
         F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count("o_totalprice").alias("n_price"),
     )
     within = (
         F.abs(F.col("approx_custs") - F.col("exact_custs"))
         <= 0.25 * F.col("exact_custs")
     )
+
+    def pct_within(est_col: str, lo_i: int, hi_i: int):
+        # The +/-0.005 RANK-error band is checked through INTERPOLATED
+        # exact percentiles, which is only meaningful when the band spans
+        # several ranks (0.01*n >= ~10).  On smaller groups (r8
+        # star-schema sweep: a 2-row status) the interpolated band falls
+        # BETWEEN adjacent elements while the sketch returns an actual
+        # element — correct by the rank contract, outside the band.  The
+        # small-group contract degrades to [group min, group max]
+        # membership, and an all-NULL-measure group is vacuously within.
+        tight = F.col(est_col).between(F.col("exb")[lo_i], F.col("exb")[hi_i])
+        loose = F.col(est_col).between(F.col("lo"), F.col("hi"))
+        return F.coalesce(
+            F.when(F.col("n_price") >= 1000, tight).otherwise(loose), F.lit(True)
+        )
+
     return est.select(
         "o_orderstatus",
         "exact_custs",
         "n",
         within.alias("hll_within_rsd"),
-        F.col("est_p50").between(F.col("exb")[0], F.col("exb")[1]).alias(
-            "p50_within_err"
-        ),
-        F.col("est_p95").between(F.col("exb")[2], F.col("exb")[3]).alias(
-            "p95_within_err"
-        ),
-        F.col("est_p99").between(F.col("exb")[4], F.col("exb")[5]).alias(
-            "p99_within_err"
-        ),
+        pct_within("est_p50", 0, 1).alias("p50_within_err"),
+        pct_within("est_p95", 2, 3).alias("p95_within_err"),
+        pct_within("est_p99", 4, 5).alias("p99_within_err"),
     ).orderBy("o_orderstatus")
 
 
@@ -828,7 +854,8 @@ SELECT c_nationkey, c_custkey,
        round(cume_dist()    OVER w, 9) AS bal_cume_dist,
        ntile(4)             OVER w     AS bal_quartile
 FROM customer
-WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY c_acctbal NULLS FIRST, c_custkey NULLS FIRST)
 ORDER BY c_nationkey, c_custkey
 """
 
@@ -844,7 +871,10 @@ def x24_dist_windows(spark, sf_dir):
     frame-based running aggregates (x19).  The named-WINDOW SQL parses
     byte-identically in both engines; (c_acctbal, c_custkey) is a total
     order so every rank — and the (rank-1)/(n-1) divisions behind
-    percent_rank/cume_dist — is deterministic and bit-identical.
+    percent_rank/cume_dist — is deterministic and bit-identical.  The
+    explicit NULLS FIRST pins the one place the dialects' defaults part:
+    Spark ASC sorts NULLS FIRST, DuckDB NULLS LAST (r8 star-schema
+    sweep: a NULL acctbal flipped every rank in its nation).
 
     Scale: one shuffle on the partition key (nation), one sort within
     partitions; all three functions evaluate in the same window pass, and

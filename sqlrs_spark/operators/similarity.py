@@ -848,22 +848,34 @@ _P38_K = 3  # directed neighbors per node before the mutuality filter
 #: O(corpus x cell), LINEAR in the corpus.  Round-7 lesson: the first
 #: p38 shipped a FIXED 8-centroid quantizer, so cells grew with the
 #: corpus and the candidate join was quadratic — 7s at sf0.1 became
-#: 801s at the 10x replica (112x work for 10x data).  The plane pool is
-#: fixed at 16 bits (65k cells), enough for ~4M vectors at 64/cell;
-#: beyond that, raise the pool size — the kbits formula is already
-#: corpus-driven.
+#: 801s at the 10x replica (112x work for 10x data).  Round 8 closed the
+#: same trap one level up (r7 verdict #4): the r7 rewrite drew sign bits
+#: from a FIXED 16-plane pool, capping the cell count at 65k (~4M
+#: vectors at 64/cell) with a "raise the pool by hand" docstring — the
+#: exact never-actually-raised pattern the quantizer died of.  The plane
+#: count is now the SAME corpus-driven kbits that sizes the cells: the
+#: signature loop runs over ceil(log2(n/cell)) planes, so the signature
+#: IS the cell id (no modulo, no pool), and per-vector hash cost grows
+#: only logarithmically with the corpus.
 _P38_CELL = 64
-_P38_PLANES = 16
 
 
-def _p38(spark_dialect: bool) -> str:
+def _p38(spark_dialect: bool, cell: int = _P38_CELL, stats_only: bool = False) -> str:
     """Dual-dialect mutual k-NN graph over the embedding corpus.
+
+    ``stats_only`` returns the cell-assignment stage's population stats
+    (cell count / max occupancy / max cell id) instead of the graph — the
+    hook tests/test_ann_quality.py uses to prove the plane pool really is
+    corpus-driven past the old 16-bit cap without building a 4M-vector
+    fixture.
 
     Structure: every vector hashes map-side into a random-hyperplane LSH
     cell (p07's md5-derived planes — identical coefficients in both
     engines), with the number of sign bits chosen FROM THE CORPUS SIZE
-    inside the query (kbits = ceil(log2(n / {_P38_CELL}))), so expected
-    cell size stays ~{_P38_CELL} at any scale.  Directed k={_P38_K}
+    inside the query (kbits = ceil(log2(n / {cell}))), so expected cell
+    size stays ~{cell} at any scale; the signature loop runs over exactly
+    kbits planes, so there is no fixed plane pool to outgrow (r7 verdict
+    #4) and the signature is the cell id directly.  Directed k={_P38_K}
     neighbor lists are computed WITHIN each cell, and an edge survives
     only if it appears in both endpoints' lists (mutual k-NN — the graph
     SemDeDup-style semantic clustering and graph-based dedup run
@@ -895,9 +907,13 @@ def _p38(spark_dialect: bool) -> str:
             f"aggregate(sequence(1, {_DIM}), cast(0.0 as double), "
             f"(acc, d) -> acc + ({coef}) * element_at(v, d))"
         )
+        # kbits is a COLUMN (the corpus-driven plane count from the kb
+        # CTE), so the sequence bound — and with it the plane pool — is
+        # decided by the data, not a compile-time constant
         sig = (
-            f"aggregate(sequence(0, {_P38_PLANES - 1}), cast(0 as bigint), "
-            f"(acc, p) -> acc + if({plane_dot} >= 0, shiftleft(cast(1 as bigint), p), 0))"
+            f"aggregate(sequence(cast(0 as bigint), kbits - 1), cast(0 as bigint), "
+            f"(acc, p) -> acc + if({plane_dot} >= 0, "
+            f"shiftleft(cast(1 as bigint), cast(p as int)), 0))"
         )
         dot = (
             "aggregate(zip_with({a}.v, {b}.v, (x, y) -> x * y), "
@@ -918,27 +934,34 @@ def _p38(spark_dialect: bool) -> str:
         )
         sig = (
             f"list_reduce(list_prepend(0::BIGINT, "
-            f"list_transform(range(0, {_P38_PLANES}), "
+            f"list_transform(range(0, kbits), "
             f"p -> CASE WHEN {plane_dot} >= 0 THEN (1::BIGINT << p) ELSE 0 END)), "
             f"(acc, x) -> acc + x)"
         )
         dot = "list_dot_product({a}.v, {b}.v)"
         norm_self = _dot("v", "v", False)
     pair_cos = f"{dot.format(a='a', b='b')} / sqrt(a.nrm * b.nrm)"
-    return f"""
-WITH e AS (
-  SELECT vec_id, v, {norm_self} AS nrm, {sig} AS sig
-  FROM (SELECT vec_id, {v} AS v FROM embeddings WHERE {emb_valid(spark_dialect)}) base
+    cells_with = f"""
+WITH base AS (
+  SELECT vec_id, {v} AS v FROM embeddings WHERE {emb_valid(spark_dialect)}
 ),
 kb AS (
-  SELECT CAST(POW(2.0, GREATEST(0.0, CEIL(LOG2(GREATEST(COUNT(*), 1)
-                                             / {_P38_CELL}.0)))) AS BIGINT)
-           AS n_cells
-  FROM e
+  SELECT CAST(GREATEST(1.0, CEIL(LOG2(GREATEST(COUNT(*), 1) / {float(cell)})))
+              AS BIGINT) AS kbits
+  FROM base
 ),
 cells AS (
-  SELECT vec_id, v, nrm, sig % kb.n_cells AS cell FROM e CROSS JOIN kb
-),
+  SELECT vec_id, v, {norm_self} AS nrm, {sig} AS cell
+  FROM base CROSS JOIN kb
+)"""
+    if stats_only:
+        return cells_with + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_occupied_cells,
+       CAST(MAX(c) AS BIGINT) AS max_cell_size,
+       CAST(MAX(cell) AS BIGINT) AS max_cell_id
+FROM (SELECT cell, COUNT(*) AS c FROM cells GROUP BY cell) g
+"""
+    return cells_with + f""",
 knn AS (
   SELECT src_id, dst_id, cosine FROM (
     SELECT a.vec_id AS src_id, b.vec_id AS dst_id, {pair_cos} AS cosine,

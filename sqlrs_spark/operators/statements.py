@@ -616,8 +616,8 @@ def v14_gzip_jsonl_source(spark, sf_dir):
     SELECT COUNT(*) AS n_rows,
            CAST(SUM(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_corrupt,
-           CAST(SUM(CASE WHEN c_custkey % 7 <> 0
-                         THEN CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+           CAST(SUM(CASE WHEN c_custkey % 7 = 0 THEN NULL
+                         ELSE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
                     END) AS BIGINT) AS clean_cents,
            CAST(SUM(CASE WHEN c_custkey % 7 = 0 THEN c_custkey END) AS BIGINT)
              AS corrupt_key_sum
@@ -685,10 +685,14 @@ def v15_corrupt_csv(spark, sf_dir):
         assert "MALFORMED" in msg or "FAILFAST" in msg, e
     n_total = permissive.count()
     n_corrupt = permissive.filter(F.col("_corrupt").isNotNull()).count()
-    # … and DROPMALFORMED silently keeps exactly the clean rows
+    # … and DROPMALFORMED silently keeps exactly the clean rows.
+    # count(lit(1)), not count(c_custkey): a NULL source key renders as an
+    # empty CSV field, parses back as a clean NULL row, and must still be
+    # counted as KEPT (r8 star-schema sweep); the sum() keeps the typed
+    # bad column aggregated so the parse isn't pruned away (comment above)
     n_kept = (
         read("DROPMALFORMED")
-        .agg(F.count("c_custkey"), F.sum("acct_cents"))
+        .agg(F.count(F.lit(1)), F.sum("acct_cents"))
         .collect()[0][0]
     )
     assert n_kept == n_total - n_corrupt, (n_kept, n_total, n_corrupt)

@@ -214,7 +214,8 @@ WITH ranked AS (
 )
 SELECT user_id,
        event_id AS last_event_id,
-       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS last_value_cents,
+       CAST(FLOOR((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100 + 0.5)
+            AS BIGINT) AS last_value_cents,
        CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
        n_changes
 FROM ranked
@@ -246,7 +247,15 @@ def p27_cdc_upsert(spark, sf_dir):
     formulation.
     """
     ev = t(spark, sf_dir, "events")
-    packed = packed_minmax(epoch_us("ts"), F.col("event_id"))
+    # NULL ts must still lose to every timestamped change (the oracle's
+    # DESC NULLS LAST) but must NOT null the packed orderand: a key whose
+    # changes ALL have NULL ts would aggregate to max(NULL)=NULL and the
+    # key would vanish from the final state, while the oracle still picks
+    # its max-event_id row (r8 degenerate-events finding).  Epoch 0 is a
+    # safe below-all sentinel: the changelog's timestamps are data-epoch
+    # microseconds (~1.7e15), and packed_minmax requires nonnegative
+    # orderands so INT64_MIN is not available.
+    packed = packed_minmax(F.coalesce(epoch_us("ts"), F.lit(0)), F.col("event_id"))
     winners = (
         ev.groupBy("user_id")
         .agg(F.max(packed).alias("w"), F.count("*").alias("n_changes"))
@@ -263,7 +272,9 @@ def p27_cdc_upsert(spark, sf_dir):
         .select(
             "user_id",
             F.col("event_id").alias("last_event_id"),
-            F.floor(F.col("value") * 100 + F.lit(0.5))
+            # NaN value -> NULL cents in both dialects (a NaN winner is
+            # reachable: r8 degenerate-events user 12)
+            F.floor(F.expr(VAL_NAN_NULL) * 100 + F.lit(0.5))
             .cast("bigint")
             .alias("last_value_cents"),
             epoch_us("ts").alias("last_ts_us"),

@@ -112,18 +112,26 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # degenerate sweep, new ops) takes a slot from here first — every
     # prefill keeps a row legal under its tier cadence until r9:
     "p10_dedup_canonical",
-    "p25_split_assign",
-    "p28_filter_cascade",
-    "p29_snapshot_diff",
     "s08_stream_foreachbatch_sink",
     "s09_stream_stream_outer_join",
-    "t11_ngram_novelty",
-    "t12_unigram_lm_score",
-    "t14_vocab_growth",
     "v04_csv_roundtrip",
-    "x28_qualify_topk",
     "q03_shipping_priority",
     "p16_dedup_minhash_capped",
+    # (e) mid-round-8 rewrites, swapped in from the pool above (displacing
+    # t14_vocab_growth, x28_qualify_topk, p25, p28, p29, t11, t12 — all
+    # still r9-claimable).  p38: corpus-driven plane pool (r7 verdict #4).
+    # x07/s08/s05: NaN-purchase guard (degenerate-events user 12 — s08 and
+    # s05 keep their existing slots above).  q30/v15/x02/x15/x24: the r8
+    # star-schema sweep's six divergence fixes (q34, the sixth, holds its
+    # tier-1 slot in (a); its fix lives in common.unpack_id/unpack_value,
+    # which also serves p10 — kept in the pool above for the same reason).
+    "p38_knn_graph",
+    "x07_conditional_pivot",
+    "q30_customer_distribution",
+    "v15_corrupt_csv",
+    "x02_anti_join",
+    "x15_approx_sketches",
+    "x24_dist_windows",
 )
 
 

@@ -323,7 +323,7 @@ def s04_stream_dedup(spark, sf_dir):
     oracle="""
     SELECT c_mktsegment, event_type,
            COUNT(*) AS n,
-           CAST(SUM(value::DECIMAL(18,4)) AS DOUBLE) AS total_value
+           CAST(SUM((CASE WHEN isnan(value) THEN NULL ELSE value END)::DECIMAL(18,4)) AS DOUBLE) AS total_value
     FROM events
     JOIN customer ON user_id = c_custkey
     GROUP BY 1, 2
@@ -357,7 +357,10 @@ def s05_stream_static_join(spark, sf_dir):
         joined.groupBy("c_mktsegment", "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value_dec"),
+            # NaN -> NULL before the decimal cast (same policy as s01/s03/
+            # s08; this op escapes the events sweep only because its oracle
+            # joins customer, so the shared guard is applied preemptively)
+            F.sum(F.expr(VAL_NAN_NULL).cast("decimal(18,4)")).alias("total_value_dec"),
         )
     )
     out = run_to_completion(agg, "s05_stream_static_join")
@@ -529,7 +532,7 @@ def s07_stream_stream_join(spark, sf_dir):
 _S08_ORACLE = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
        COUNT(*) AS n,
-       CAST(SUM(value::DECIMAL(18,4)) AS DOUBLE) AS total_value
+       CAST(SUM((CASE WHEN isnan(value) THEN NULL ELSE value END)::DECIMAL(18,4)) AS DOUBLE) AS total_value
 FROM events
 WHERE event_type = 'purchase'
 GROUP BY 1 ORDER BY 1
@@ -587,7 +590,11 @@ def s08_stream_foreachbatch_sink(spark, sf_dir):
         sunk.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            # NaN -> NULL before the decimal cast, matching the oracle
+            # (reachable via r8 degenerate-events user 12)
+            F.sum(F.expr(VAL_NAN_NULL).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
         )
         .orderBy("hour_start"),
         out_dir,
@@ -884,17 +891,25 @@ def s11_emitted(ev):
         " best_type string, n_changes bigint"
     )
 
+    # NaT views as INT64_MIN, so a NULL-ts change carries this ts_us after
+    # the //1000 below.  The empty-state sentinel must sit BELOW it in the
+    # (ts, eid) order — the r7 sentinel (-1, -1) beat every NULL-ts change,
+    # so a key whose changes ALL have NULL ts emitted the sentinel values
+    # instead of its max-event_id row (r8 ADVICE).  Same NULL_TS value with
+    # eid -1 loses the tie-break to any real change (event_id >= 0).
+    NULL_TS = (-(2**63)) // 1_000
+
     def apply_changes(key, batches, state: GroupState):
         best_ts, best_eid, best_cents, best_type, n = (
-            state.get if state.exists else (-1, -1, 0, "", 0)
+            state.get if state.exists else (NULL_TS, -1, 0, "", 0)
         )
         import math
 
         for rows in batches:
-            # NaT views as INT64_MIN: a NULL-ts change loses the argmax to
-            # any timestamped one (both engines sort NULLS LAST under the
-            # oracle's ts DESC) but still counts in n_changes, exactly as
-            # _P27_ORACLE's COUNT(*)/ROW_NUMBER pair does
+            # NULL-ts changes lose the argmax to any timestamped one (both
+            # engines sort NULLS LAST under the oracle's ts DESC) but still
+            # count in n_changes, exactly as _P27_ORACLE's
+            # COUNT(*)/ROW_NUMBER pair does
             ts_us = rows["ts"].to_numpy().view("int64") // 1_000
             eid = rows["event_id"].astype("int64")
             vals = rows["value"]
@@ -909,11 +924,15 @@ def s11_emitted(ev):
                         if v is None or math.isnan(v)
                         else int(math.floor(v * 100 + 0.5))
                     )
+                    # NULL event_type stays None (not str(None)): the
+                    # oracle's `event_type <> 'view'` is 3VL-false on
+                    # NULL, and the finalize filter reproduces that only
+                    # if the NULL survives to the comparison
                     best_ts, best_eid, best_cents, best_type = (
                         int(t_us),
                         int(e),
                         c,
-                        str(ty),
+                        None if ty is None else str(ty),
                     )
         state.update((best_ts, best_eid, best_cents, best_type, int(n)))
         yield pd.DataFrame(
@@ -921,7 +940,9 @@ def s11_emitted(ev):
                 "user_id": [key[0]],
                 "last_event_id": [best_eid],
                 "last_value_cents": [best_cents],
-                "last_ts_us": [best_ts],
+                # a NULL-ts winner emits NULL, as the oracle's
+                # epoch_us(NULL) does; NULL_TS is the internal orderand only
+                "last_ts_us": [None if best_ts == NULL_TS else best_ts],
                 "n_changes": [n],
                 "last_type": [best_type],
             }

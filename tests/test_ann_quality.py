@@ -166,3 +166,83 @@ def test_p38_mutual_knn_respects_planted_clusters(spark, clustered_dir):
         if labels[e["src_id"]] != labels[e["dst_id"]]
     ]
     assert not cross, f"{len(cross)} cross-cluster edges, e.g. {cross[:5]}"
+
+
+# --- p38 plane pool: corpus-driven, no fixed cap (r7 verdict #4) ----------
+
+
+def _p38_synth_con(n: int):
+    """DuckDB connection with n deterministic pseudo-random 64-d vectors
+    as the embeddings view (hash-derived elements in [-1, 1]; no zero or
+    NaN vectors, so emb_valid passes everything)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"""CREATE VIEW embeddings AS
+        SELECT i AS vec_id,
+               list_transform(range(1, 65),
+                   d -> ((((hash(i * 131 + d) % 2001)::BIGINT) - 1000)
+                         / 1000.0)::DOUBLE) AS embedding
+        FROM range({n}) t(i)"""
+    )
+    return con
+
+
+def test_p38_plane_pool_grows_past_16_bits():
+    """The r7 p38 drew sign bits from a FIXED 16-plane pool: cells capped
+    at 65k and silently grew past ~4M vectors (r7 verdict #4).  The pool
+    is now the same corpus-driven kbits that sizes the cells.  A cell
+    target of 0.05 on 4096 vectors forces kbits = ceil(log2(4096/0.05))
+    = 17 — one past the old cap — without a 4M-vector fixture: the 17th
+    sign bit must be observed in a live cell id, and occupancy must stay
+    near-singleton (2^17 cells for 4k vectors), i.e. cells did NOT
+    silently saturate at the old pool boundary."""
+    from sqlrs_spark.operators.similarity import _p38
+
+    con = _p38_synth_con(4096)
+    n_cells, max_size, max_id = con.execute(
+        _p38(False, cell=0.05, stats_only=True)
+    ).fetchone()
+    con.close()
+    assert max_id >= 1 << 16, (
+        f"no cell id uses bit 16 (max id {max_id}): plane pool still capped"
+    )
+    assert max_size <= 8, f"cell occupancy {max_size} on 2^17 cells for 4k vectors"
+    assert n_cells > 2048, f"only {n_cells} occupied cells for 4096 vectors"
+
+
+def test_p38_cell_occupancy_tracks_target():
+    """At the production cell target (64), 4096 vectors give kbits = 6:
+    at most 64 cells, mean occupancy >= the target, and no pathological
+    pile-up (random planes on unstructured vectors stay within ~4x)."""
+    from sqlrs_spark.operators.similarity import _p38
+
+    con = _p38_synth_con(4096)
+    n_cells, max_size, max_id = con.execute(_p38(False, stats_only=True)).fetchone()
+    con.close()
+    assert max_id < 64, f"cell id {max_id} outside the 2^6 space"
+    assert 32 <= 4096 / n_cells <= 128, f"mean occupancy {4096 / n_cells:.1f}"
+    assert max_size <= 256, f"worst cell holds {max_size} of 4096"
+
+
+def test_p38_cell_stats_parity_on_real_corpus(spark, oracle_sf_dir):
+    """The dynamic-plane signature (sequence bound = a column) must agree
+    bit-for-bit across dialects on the driver corpus — same stats row."""
+    import duckdb
+
+    from sqlrs_spark.operators.similarity import _p38
+    from sqlrs_spark.sources.tables import register_views
+    from tests.oracle import compare
+
+    register_views(spark, oracle_sf_dir, ("embeddings",))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM"
+        f" '{oracle_sf_dir}/embeddings.parquet'"
+    )
+    ok, msg = compare(
+        spark.sql(_p38(True, stats_only=True)), con, _p38(False, stats_only=True)
+    )
+    con.close()
+    assert ok, msg

@@ -1094,11 +1094,9 @@ def _listagg_ast(draw, st):
 
 def _listagg_render(ast, spark_dialect: bool) -> str:
     group, item, sep, order, filt = ast
-    it = item if spark_dialect else (
-        item.replace("cast(n_nationkey as string)", "CAST(n_nationkey AS VARCHAR)")
-        .replace("concat(n_name, '#', ", "(n_name || '#' || ")
-        .replace("))", "))" ) if item.startswith("concat") else item
-    )
+    # the concat(...) item is the one non-portable shape; every other item
+    # (including cast(x as string)) parses identically in both dialects
+    it = item
     if not spark_dialect and item.startswith("concat"):
         it = "(n_name || '#' || CAST(n_nationkey AS VARCHAR))"
     ob = ", ".join(order + ["n_nationkey"])
