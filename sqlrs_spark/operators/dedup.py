@@ -382,8 +382,15 @@ def connected_components(edges, nodes, max_iters: int = _CC_MAX_ITERS):
     """
     from pyspark.sql import functions as F
 
-    bidir = edges.selectExpr("a AS src", "b AS nbr").unionByName(
-        edges.selectExpr("b AS src", "a AS nbr")
+    # localCheckpoint the EDGE LIST, not just the labels: `edges` is a
+    # lazy plan (p04's candidate pipeline for p09, p38's whole LSH
+    # scoring pipeline for p40), and without materialization every
+    # label-propagation round RE-EXECUTES it — measured on p40 at sf0.1:
+    # 76.9s with the lazy plan vs ~8s with edges pinned once (r8).
+    bidir = (
+        edges.selectExpr("a AS src", "b AS nbr")
+        .unionByName(edges.selectExpr("b AS src", "a AS nbr"))
+        .localCheckpoint()
     )
     labels = nodes.select(
         F.col("doc_id"), F.col("doc_id").alias("cluster_id")

@@ -337,6 +337,18 @@ def q03_shipping_priority(spark, sf_dir):
     SF, so no forced broadcast hint — AQE's stats pick broadcast at small
     SF and a shuffle join once customer outgrows the threshold;
     ORDER+LIMIT fuses to TakeOrderedAndProject (SURVEY §2.6).
+
+    1000x bucketed adjudication (r6 verdict #4, closed by
+    BENCH1000X_r08): the suspected r5->r6 "regression" (8.07 -> 9.38s)
+    does not reproduce as a regression — r8's always-fresh-process
+    measurement lands at 9.60s, clustering with r6's 9.38 and marking
+    r5's 8.07 as the outlier (r5 predates the always-fresh-bucketed
+    protocol; its number was an in-sweep reading subject to page-cache
+    luck).  Steady state: ~9.5s bucketed vs DuckDB's 4.15s
+    subprocess-isolated baseline = 2.31x (plain 16.2s = 3.9x).  The
+    bucketed plan is already exchange-free on lineitem, so the residual
+    is the engine-constant per-row probe cost this docstring's measured
+    negatives bound — carried as the documented floor on this box.
     """
     from sqlrs_spark.sources.bucketing import adopted_bucketed_facts
 

@@ -992,3 +992,92 @@ def p38_knn_graph(spark, sf_dir):
     clustering; identical statement runs in both engines."""
     register_views(spark, sf_dir, ("embeddings",))
     return spark.sql(_p38(True))
+
+
+# ---------------------------------------------------------------------------
+# p40 — semantic dedup clusters (connected components over the mutual-kNN
+# graph: the SemDeDup endgame p38's edges exist to feed)
+# ---------------------------------------------------------------------------
+
+_P40_ORACLE = f"""
+WITH RECURSIVE g AS ({_p38(False)}),
+edges AS (
+  SELECT src_id AS a, dst_id AS b FROM g
+  UNION ALL
+  SELECT dst_id AS a, src_id AS b FROM g
+),
+nodes AS (SELECT vec_id FROM embeddings WHERE {EMB_VALID_DUCK}),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+labels AS (SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT l.vec_id, l.cluster_id, s.cluster_size,
+       l.vec_id = l.cluster_id AS is_representative
+FROM labels l
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM labels GROUP BY cluster_id) s
+  ON s.cluster_id = l.cluster_id
+ORDER BY l.vec_id
+"""
+
+
+@register(
+    "p40_semantic_clusters",
+    oracle=_P40_ORACLE,
+    tags=("pipeline", "similarity", "dedup"),
+    bench=True,
+)
+def p40_semantic_clusters(spark, sf_dir):
+    """Semantic-dedup clusters (SemDeDup): connected components over
+    p38's mutual-kNN edges, materialized as (vec_id, cluster_id,
+    cluster_size, is_representative) with cluster_id = the component's
+    minimum vec_id — the row a semantic-dedup pipeline KEEPS per cluster
+    of near-duplicate embeddings.  Closes the loop the r7 verdict asked
+    for: p38 builds the graph, p40 turns it into the actionable
+    keep/drop table (the embedding-space twin of p09's n-gram-Jaccard
+    clustering).
+
+    Spark plan: p38's graph (cell-bucketed candidate generation, one
+    scoring pass, mutuality by hash-agg) feeds dedup.connected_components
+    — iterative min-label propagation, one (id, label)-long shuffle per
+    round, lineage truncated per round, convergence by aggregate count.
+    Mutual-kNN components are shallow (degree <= {_P38_K}, mutuality
+    prunes hub chains), so rounds ~ graph diameter stays single-digit.
+    Valid singleton vectors are their own cluster, exactly as the
+    oracle's nodes seed.  The DuckDB oracle runs the IDENTICAL graph
+    statement through a WITH RECURSIVE transitive closure — full value
+    parity for the iterative distributed algorithm (p09's verification
+    pattern).
+
+    Scale: every round's shuffle carries two longs per vector — never
+    embeddings; candidate cost is p38's (linear via corpus-driven
+    cells); at 100 TB the components loop is bounded by the mutual
+    graph's tiny diameter, not the corpus.
+    """
+    from pyspark.sql import functions as F
+
+    from sqlrs_spark.operators.dedup import connected_components
+
+    register_views(spark, sf_dir, ("embeddings",))
+    edges = spark.sql(_p38(True)).selectExpr("src_id AS a", "dst_id AS b")
+    nodes = (
+        spark.table("embeddings")
+        .where(EMB_VALID_SPARK)
+        .selectExpr("vec_id AS doc_id")
+    )
+    labels = connected_components(edges, nodes).selectExpr(
+        "doc_id AS vec_id", "cluster_id"
+    )
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("vec_id") == F.col("cluster_id")).alias("is_representative"),
+        )
+        .orderBy("vec_id")
+    )

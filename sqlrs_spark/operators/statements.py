@@ -675,6 +675,12 @@ def v15_corrupt_csv(spark, sf_dir):
     # parser then never attempts the failing cast, and neither mode
     # triggers (measured: FAILFAST.count() returns happily) — the same
     # pruning that makes clean scans fast makes malformedness lazy.
+    # Laziness goes further for STRUCTURAL malformation (wrong field
+    # count): those rows trip FAILFAST only when EVERY schema column is
+    # materialized — even sum(<the missing column>) sails past a short
+    # row (measured by the corrupt-CSV fuzz family, test_differential).
+    # v15's corrupt rows are type-malformed, so the one-column probe
+    # here is sufficient.
     try:
         read("FAILFAST").agg(F.sum("acct_cents")).collect()
         raise AssertionError("FAILFAST accepted a malformed shard")

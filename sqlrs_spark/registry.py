@@ -113,8 +113,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # prefill keeps a row legal under its tier cadence until r9:
     "p10_dedup_canonical",
     "s08_stream_foreachbatch_sink",
-    "s09_stream_stream_outer_join",
-    "v04_csv_roundtrip",
     "q03_shipping_priority",
     "p16_dedup_minhash_capped",
     # (e) mid-round-8 rewrites, swapped in from the pool above (displacing
@@ -132,6 +130,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x02_anti_join",
     "x15_approx_sketches",
     "x24_dist_windows",
+    # (f) NEW operator this round (displacing prefill s09, r9-claimable):
+    # p40 = SemDeDup connected components over p38's mutual-kNN edges,
+    # bench-flagged from birth (r7 verdict #8's one-op allowance).  p09
+    # rides along (displacing prefill v04): connected_components now
+    # localCheckpoints the edge list — without it every propagation round
+    # re-executed the lazy edge plan (p40's first bench run: 76.9s at
+    # sf0.1; 12.2s with edges pinned):
+    "p40_semantic_clusters",
+    "p09_dedup_clusters",
 )
 
 

@@ -246,3 +246,29 @@ def test_p38_cell_stats_parity_on_real_corpus(spark, oracle_sf_dir):
     )
     con.close()
     assert ok, msg
+
+
+def test_p40_clusters_respect_planted_structure(spark, clustered_dir):
+    """p40's components must stay inside the planted clusters (an edge or
+    label crossing two planted clusters means p38's graph — or the label
+    propagation — is broken), every valid vector must carry exactly one
+    label, and each component's representative must be its min vec_id."""
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(clustered_dir + "/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = SPECS["p40_semantic_clusters"].fn(spark, clustered_dir).collect()
+    assert len(rows) == len(labels), (len(rows), len(labels))
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+        assert r["is_representative"] == (r["vec_id"] == r["cluster_id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members), f"cluster {cid} not labeled by its min member"
+        planted = {labels[m] for m in members}
+        assert len(planted) == 1, f"cluster {cid} spans planted clusters {planted}"
+    # the mutual graph is dense inside planted clusters, so components
+    # must actually merge vectors — not degenerate to all-singletons
+    assert max(len(m) for m in by_cluster.values()) >= 5

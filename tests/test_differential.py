@@ -1158,3 +1158,186 @@ def test_listagg_default_separator_deviation(engines):
     ).fetchall()[0][0]
     assert s == "ab", s
     assert d == "a,b", d
+
+
+# --- corrupt-CSV malformed-row family (dual-engine) -------------------------
+#
+# Round-7 verdict #7 (the half of the r6 brief deferred for LISTAGG):
+# randomized malformed-row corpora through the v15 reader-mode matrix —
+# Spark PERMISSIVE / DROPMALFORMED / FAILFAST vs DuckDB's
+# `read_csv(..., ignore_errors=true)` — on one generated file per example.
+# The AGREED surface (measured, r8): both engines keep clean rows
+# (including quoted embedded delimiters, empty→NULL fields, +N integers),
+# both drop rows with an unparseable numeric token, too few fields, or too
+# many fields, and both skip blank lines entirely.  The DELIBERATELY
+# EXCLUDED arm is numeric leniency — DuckDB parses '5.25'/'1e3'/'0x10'
+# into a BIGINT column while Spark marks the row malformed — pinned as
+# deviation #9 below, so the family's bad-token pool contains only
+# tokens BOTH engines reject.
+
+
+def _render_csv_rows(modes):
+    """One line per mode; returns (lines, n_clean, n_malformed, n_blank).
+    id (= row index) stays parseable in every mode, so PERMISSIVE's
+    salvaged-column accounting is checkable per row."""
+    lines, n_clean, n_bad, n_blank = [], 0, 0, 0
+    for i, mode in enumerate(modes):
+        if mode == "clean":
+            lines.append(f"{i},n{i},{100 + i}")
+            n_clean += 1
+        elif mode == "plus":
+            lines.append(f"{i},n{i},+{100 + i}")
+            n_clean += 1
+        elif mode == "nullval":
+            lines.append(f"{i},n{i},")
+            n_clean += 1
+        elif mode == "quoted":
+            lines.append(f'{i},"n,{i}",{100 + i}')
+            n_clean += 1
+        elif mode == "badnum":
+            lines.append(f"{i},n{i},{'N/A' if i % 2 else 'x' + str(i)}")
+            n_bad += 1
+        elif mode == "short":
+            lines.append(f"{i},n{i}")
+            n_bad += 1
+        elif mode == "long":
+            lines.append(f"{i},n{i},{100 + i},EXTRA")
+            n_bad += 1
+        else:  # blank
+            lines.append("")
+            n_blank += 1
+    return lines, n_clean, n_bad, n_blank
+
+
+@st.composite
+def corrupt_csv_modes(draw):
+    return draw(
+        st.lists(
+            st.sampled_from(
+                ["clean", "clean", "clean", "plus", "nullval", "quoted",
+                 "badnum", "short", "long", "blank"]
+            ),
+            min_size=8,
+            max_size=30,
+        )
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(modes=corrupt_csv_modes())
+def test_differential_corrupt_csv_modes(engines, modes):
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark, duck = engines
+    lines, n_clean, n_bad, n_blank = _render_csv_rows(modes)
+    root = tempfile.mkdtemp(prefix="sqlrs_csvfuzz_")
+    path = os.path.join(root, "t.csv")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    try:
+        schema = "id bigint, name string, val bigint"
+        read = lambda mode: (  # noqa: E731
+            spark.read.schema(schema + ", _corrupt string")
+            .option("mode", mode)
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(path)
+        )
+        # 1. kept-row parity: Spark DROPMALFORMED == DuckDB ignore_errors
+        #    on the whole typed row multiset
+        kept = (
+            spark.read.schema(schema)
+            .option("mode", "DROPMALFORMED")
+            .csv(path)
+            .orderBy("id")
+        )
+        ok, msg = compare(
+            kept,
+            duck,
+            # auto_detect=false: even with explicit columns DuckDB still
+            # SNIFFS the dialect, and the sniffer itself errors when the
+            # file's first line is structurally short (found by this
+            # family's first shrink)
+            f"SELECT * FROM read_csv('{path}', columns={{'id': 'BIGINT',"
+            f" 'name': 'VARCHAR', 'val': 'BIGINT'}}, header=false,"
+            f" auto_detect=false, ignore_errors=true) ORDER BY id",
+        )
+        assert ok, f"{msg}\nmodes={modes}"
+        # 2. PERMISSIVE accounting: every non-blank line survives, exactly
+        #    the malformed ones carry _corrupt, and their id column is
+        #    still salvaged (the quarantine-audit contract v15 states)
+        perm = read("PERMISSIVE").cache()
+        try:
+            assert perm.count() == n_clean + n_bad
+            bad = perm.filter(F.col("_corrupt").isNotNull())
+            assert bad.count() == n_bad
+            assert bad.filter(F.col("id").isNull()).count() == 0
+        finally:
+            perm.unpersist()
+        # 3. FAILFAST raises iff the corpus has a malformed row.  Probe
+        #    with a FULL-ROW materialization: v15's "malformedness is
+        #    lazy" note goes further than v15 needed — a TYPE-malformed
+        #    row raises as soon as its bad column is read, but a
+        #    STRUCTURALLY malformed row (wrong field count) raises only
+        #    when every schema column is requested; a pruned sum(val)
+        #    sails straight past a short row EVEN THOUGH val is the
+        #    missing field (measured, this family's first run).
+        if n_bad:
+            with pytest.raises(Exception, match="(?i)malformed|failfast"):
+                read("FAILFAST").drop("_corrupt").collect()
+        else:
+            read("FAILFAST").drop("_corrupt").collect()
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_csv_numeric_leniency_deviation(engines):
+    """Pins deviation #9 (found by this family's first probe): DuckDB's
+    CSV reader parses decimal, scientific, and hex literals into a BIGINT
+    column (rounding the fractional forms), while Spark's reader marks
+    the row malformed.  The fuzz family's bad-token pool therefore holds
+    only tokens BOTH engines reject; pinned so an engine upgrade
+    normalizing either side is caught."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark, duck = engines
+    root = tempfile.mkdtemp(prefix="sqlrs_csvdev_")
+    path = os.path.join(root, "t.csv")
+    with open(path, "w") as f:
+        f.write("1,a,5.25\n2,b,5.75\n3,c,-2.5\n4,d,1e3\n5,e,0x10\n")
+    try:
+        d = duck.execute(
+            f"SELECT val FROM read_csv('{path}', columns={{'id': 'BIGINT',"
+            f" 'name': 'VARCHAR', 'val': 'BIGINT'}}, header=false,"
+            f" auto_detect=false, ignore_errors=true) ORDER BY id"
+        ).fetchall()
+        assert [r[0] for r in d] == [5, 6, -3, 1000, 16], d
+        # cache first: Spark disallows corrupt-column-only queries straight
+        # off the reader (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+        s = (
+            spark.read.schema("id bigint, name string, val bigint, _c string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_c")
+            .csv(path)
+            .cache()
+        )
+        try:
+            assert s.count() == 5
+            assert s.filter(F.col("_c").isNotNull()).count() == 5
+        finally:
+            s.unpersist()
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
