@@ -1341,3 +1341,131 @@ def test_csv_numeric_leniency_deviation(engines):
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- set-operation family (shared-dialect SQL, both engines) ----------------
+#
+# Round-8 addition (thirteenth family).  x03 pins ONE fixed UNION/
+# INTERSECT/EXCEPT shape; this family searches the set-op space the slt
+# corpus and x03 never enumerate: the ALL (bag) variants, NULL-keyed rows
+# (set operations treat NULLs as EQUAL, unlike `=` — the 3VL hole the
+# conjunction family can't see), empty branches (WHERE 1=0), duplicate-
+# heavy projections, and 3-branch trees under BOTH association orders
+# with explicit parentheses.  All six operators parse identically in
+# Spark and DuckDB, so one rendered statement feeds both engines and any
+# mismatch is a semantics bug, not a dialect artifact.  Determinism:
+# every expression is integer- or substring-typed (no doubles, no
+# timestamps), so the multiset compare is bit-stable.
+
+_SETOP_INT_EXPRS = [
+    "n_nationkey % 5",
+    "n_regionkey",
+    "CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_regionkey END",
+]
+_SETOP_STR_EXPRS = [
+    "substr(n_name, 1, 2)",
+    "CASE WHEN n_regionkey = 2 THEN NULL ELSE substr(n_name, 1, 1) END",
+]
+_SETOP_FILTERS = [
+    "",
+    " WHERE n_nationkey < 15",
+    " WHERE n_regionkey >= 2",
+    " WHERE 1 = 0",  # empty branch: X EXCEPT empty = X, empty INTERSECT X = empty
+    " WHERE n_nationkey % 2 = 0",
+]
+_SETOP_OPS = [
+    "UNION",
+    "UNION ALL",
+    "INTERSECT",
+    "INTERSECT ALL",
+    "EXCEPT",
+    "EXCEPT ALL",
+]
+
+
+@st.composite
+def setop_query(draw):
+    # one column shape shared by every branch (union compatibility);
+    # each branch draws its own expressions within that shape
+    shape = draw(
+        st.lists(st.sampled_from(["i", "s"]), min_size=1, max_size=2)
+    )
+
+    def branch() -> str:
+        cols = ", ".join(
+            draw(
+                st.sampled_from(
+                    _SETOP_INT_EXPRS if kind == "i" else _SETOP_STR_EXPRS
+                )
+            )
+            + f" AS c{j}"
+            for j, kind in enumerate(shape)
+        )
+        return f"SELECT {cols} FROM nation{draw(st.sampled_from(_SETOP_FILTERS))}"
+
+    n_branch = draw(st.integers(2, 3))
+    branches = [branch() for _ in range(n_branch)]
+    ops = [draw(st.sampled_from(_SETOP_OPS)) for _ in range(n_branch - 1)]
+    if n_branch == 2:
+        return f"({branches[0]}) {ops[0]} ({branches[1]})"
+    if draw(st.booleans()):  # left-deep
+        return (
+            f"(({branches[0]}) {ops[0]} ({branches[1]})) "
+            f"{ops[1]} ({branches[2]})"
+        )
+    return (
+        f"({branches[0]}) {ops[0]} "
+        f"(({branches[1]}) {ops[1]} ({branches[2]}))"
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=setop_query())
+def test_differential_setops(engines_nation, sql):
+    spark, duck = engines_nation
+    ok, msg = compare(spark.sql(sql), duck, sql)
+    assert ok, f"{msg}\nSQL: {sql}"
+
+
+def test_setop_null_equality(engines_nation):
+    """Pins the semantics the family exists to probe: set operations
+    compare NULLs as EQUAL (SQL `IS NOT DISTINCT FROM` grouping), unlike
+    the `=` predicate.  A NULL row INTERSECTs with a NULL row, and
+    EXCEPT removes it, in BOTH engines."""
+    spark, duck = engines_nation
+    sql = (
+        "SELECT x FROM (SELECT CAST(NULL AS INT) AS x UNION ALL SELECT 1) a "
+        "INTERSECT "
+        "SELECT x FROM (SELECT CAST(NULL AS INT) AS x UNION ALL SELECT 2) b"
+    )
+    s = [r["x"] for r in spark.sql(sql).collect()]
+    d = [r[0] for r in duck.execute(sql).fetchall()]
+    assert s == [None], s
+    assert d == [None], d
+
+
+def test_setop_precedence_parity(engines_nation):
+    """Pins operator precedence on the UNPARENTHESIZED chain: both
+    engines bind INTERSECT tighter than UNION (ANSI), so
+    `A UNION B INTERSECT C` means `A UNION (B INTERSECT C)`.  Spark only
+    honors this with spark.sql.legacy.setopsPrecedence.enabled=false
+    (the default); pinned so a config or engine drift is caught."""
+    spark, duck = engines_nation
+    chain = (
+        "SELECT n_regionkey AS k FROM nation UNION "
+        "SELECT n_nationkey % 7 FROM nation INTERSECT "
+        "SELECT n_nationkey % 2 FROM nation"
+    )
+    explicit = (
+        "SELECT n_regionkey AS k FROM nation UNION "
+        "(SELECT n_nationkey % 7 FROM nation INTERSECT "
+        "SELECT n_nationkey % 2 FROM nation)"
+    )
+    s_chain = sorted(r["k"] for r in spark.sql(chain).collect())
+    s_expl = sorted(r["k"] for r in spark.sql(explicit).collect())
+    d_chain = sorted(r[0] for r in duck.execute(chain).fetchall())
+    assert s_chain == s_expl == d_chain == [0, 1, 2, 3, 4]
