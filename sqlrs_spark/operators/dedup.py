@@ -395,26 +395,61 @@ def connected_components(edges, nodes, max_iters: int = _CC_MAX_ITERS):
     labels = nodes.select(
         F.col("doc_id"), F.col("doc_id").alias("cluster_id")
     ).localCheckpoint()
+    changed = -1
     for _ in range(max_iters):
+        # POINTER JUMP first: l2(v) = l(l(v)).  Labels are monotonically
+        # non-increasing and always name a node of v's own component, so
+        # jumping compresses label chains and convergence needs
+        # O(log diameter) rounds instead of O(diameter).  Round-8 fix:
+        # the r7 plain propagation needed ~diameter rounds, and the
+        # sf0.1 mutual-kNN graph holds an 82-node chain — max_iters=25
+        # returned silently UNCONVERGED labels (p40's only red oracle
+        # row).  The jump joins two references to the SAME checkpointed
+        # frame, so it adds one small (id, label)-shuffle, no recompute.
+        jt = labels.selectExpr("doc_id AS j_id", "cluster_id AS j_lab")
+        # prev = the ROUND-START label, carried straight out of the jump
+        # join (no extra attach join); the node's own row is the only
+        # one with prev non-null, so the max() below selects it and
+        # convergence is a filter+count over the just-checkpointed
+        # result instead of the r7 version's extra labels-to-labels
+        # shuffle join per round.  new <= l(l(v)) <= l(v) = prev
+        # elementwise, so changed == 0 certifies the jump AND the
+        # relaxation are both at fixpoint.
+        jumped = (
+            labels.join(jt, labels["cluster_id"] == jt["j_id"])
+            .select(
+                "doc_id",
+                F.col("j_lab").alias("cluster_id"),
+                F.col("cluster_id").alias("prev"),
+            )
+        )
         nbr_labels = (
-            bidir.join(labels, bidir["nbr"] == labels["doc_id"])
-            .select(F.col("src").alias("doc_id"), F.col("cluster_id"))
+            bidir.join(jumped, bidir["nbr"] == jumped["doc_id"])
+            .select(
+                F.col("src").alias("doc_id"),
+                F.col("cluster_id"),
+                F.lit(None).cast("long").alias("prev"),
+            )
         )
         new_labels = (
-            labels.unionByName(nbr_labels)
+            jumped.unionByName(nbr_labels)
             .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.max("prev").alias("prev"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.doc_id") == F.col("o.doc_id"))
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("cluster_id") != F.col("prev")
+        ).count()
+        labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
     return labels
 
 

@@ -982,16 +982,135 @@ ORDER BY src_id, dst_id
 """
 
 
+def _p38_plane_coef(p: int, d: int) -> float:
+    """Python twin of the SQL plane coefficient — EXACTLY the value
+    ``(pmod(md5int('g{p}:{d}'), 2001) - 1000) / 1000.0`` both dialects
+    compute: hashlib.md5 == md5(), int(hex[:15],16) == conv/::BIGINT,
+    and an integer in [-1000, 1000] divided by 1000 rounds to the same
+    double whether the division runs in decimal (SQL) or binary (here) —
+    both are the correctly-rounded image of the same exact rational."""
+    import hashlib
+
+    h = int(hashlib.md5(f"g{p}:{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def p38_cells(spark, sf_dir):
+    """(vec_id, v, nrm, cell) — p38's LSH cell assignment as an
+    Arrow-batched numpy kernel (r8 optimization round).
+
+    The r7 SQL formulation computed the signature with interpreted
+    higher-order-function folds whose inner coefficient expression
+    re-derived md5('g{p}:{d}') PER VECTOR PER PLANE PER DIMENSION —
+    kbits x 64 md5+conv calls per row, evaluated in BOTH self-join
+    subtrees (plans/r08/p38_knn_graph_before.txt nodes 11/12 and 25/26:
+    the whole signature aggregate even appears inside the
+    BroadcastNestedLoopJoin's null-check condition).  Guide §4.2: the
+    coefficients depend only on (plane, dim), so they are precomputed
+    here ONCE into a (kbits x 64) float64 matrix and the per-row work
+    becomes kbits sequential numpy folds.  Bit-exactness follows p06's
+    pattern: ``np.cumsum(V * C[p], axis=1)[:, -1]`` is the same strict
+    left-to-right ``acc + coef*v[d]`` fold as the SQL aggregate, and the
+    elementwise product is a single IEEE op — cells, norms and therefore
+    every downstream cosine hash-match the DuckDB oracle exactly
+    (proven by the unchanged oracle in the driver sweep and
+    tests/test_ann_quality.py's stats hook).
+
+    kbits is the same corpus-driven ``ceil(log2(n / 64))`` the oracle's
+    kb CTE computes — a 1-value driver scalar (the SQL plan also
+    counted the corpus, twice).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    register_views(spark, sf_dir, ("embeddings",))
+    corpus = spark.sql(
+        "SELECT vec_id, transform(embedding, x -> cast(x as double)) AS v "
+        f"FROM embeddings WHERE {EMB_VALID_SPARK}"
+    )
+    n = corpus.count()
+    kbits = max(1, math.ceil(math.log2(max(n, 1) / float(_P38_CELL))))
+    C = np.array(
+        [[_p38_plane_coef(p, d) for d in range(1, _DIM + 1)] for p in range(kbits)],
+        dtype=np.float64,
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["v"].to_numpy())  # (B, 64) float64
+            # sequential fold == SQL aggregate(zip_with(...)) bit-for-bit
+            nrm = np.cumsum(V * V, axis=1)[:, -1]
+            cell = np.zeros(len(V), dtype=np.int64)
+            for p in range(kbits):
+                dot = np.cumsum(V * C[p], axis=1)[:, -1]
+                cell |= (dot >= 0.0).astype(np.int64) << p
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "v": pdf["v"], "nrm": nrm, "cell": cell}
+            )
+
+    return corpus.mapInPandas(
+        kernel, schema="vec_id bigint, v array<double>, nrm double, cell bigint"
+    )
+
+
 @register(
     "p38_knn_graph", oracle=_p38(False), tags=("pipeline", "similarity"), bench=True
 )
 def p38_knn_graph(spark, sf_dir):
     """Mutual k-NN graph construction over the embedding corpus — directed
-    top-3 within IVF cells, kept only when both endpoints agree (see
-    _p38).  Feeds p09/p10-style connected components for semantic
-    clustering; identical statement runs in both engines."""
-    register_views(spark, sf_dir, ("embeddings",))
-    return spark.sql(_p38(True))
+    top-3 within LSH cells, kept only when both endpoints agree (see
+    _p38 for the oracle's identical formulation).
+
+    r8 plan: cell assignment + self-norms run in the numpy kernel
+    (p38_cells — no md5 in the row path); candidate generation stays the
+    cell equi-join (AQE skew-split preserved), the directed top-k stays
+    ONE window whose ORDER BY key is the already-computed cosine column
+    (the r7 SQL re-evaluated the whole dot-product fold as the sort
+    key), and mutuality stays one hash aggregation on the unordered
+    edge key."""
+    return _p38_mutual_edges(spark, sf_dir).orderBy("src_id", "dst_id")
+
+
+def _p38_mutual_edges(spark, sf_dir):
+    """p38's mutual-edge set WITHOUT the presentation sort — p40 feeds
+    these straight into connected components (which re-shuffles anyway),
+    so only p38 itself pays the final range exchange."""
+    cells = p38_cells(spark, sf_dir)
+    cells.createOrReplaceTempView("p38_cells_v")
+    dot = (
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, p) -> acc + p)"
+    )
+    return spark.sql(
+        f"""
+WITH pairs AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         {dot} / sqrt(a.nrm * b.nrm) AS cosine
+  FROM p38_cells_v a JOIN p38_cells_v b
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT src_id, dst_id, cosine FROM (
+    SELECT src_id, dst_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY src_id
+                              ORDER BY cosine DESC, dst_id) AS rk
+    FROM pairs
+  ) d WHERE rk <= {_P38_K}
+)
+SELECT src_id, dst_id, cosine FROM (
+  SELECT least(src_id, dst_id) AS src_id,
+         greatest(src_id, dst_id) AS dst_id,
+         MIN(cosine) AS cosine,
+         COUNT(*) AS n_directions
+  FROM knn GROUP BY 1, 2
+) undirected
+WHERE n_directions = 2
+"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1061,7 +1180,7 @@ def p40_semantic_clusters(spark, sf_dir):
     from sqlrs_spark.operators.dedup import connected_components
 
     register_views(spark, sf_dir, ("embeddings",))
-    edges = spark.sql(_p38(True)).selectExpr("src_id AS a", "dst_id AS b")
+    edges = _p38_mutual_edges(spark, sf_dir).selectExpr("src_id AS a", "dst_id AS b")
     nodes = (
         spark.table("embeddings")
         .where(EMB_VALID_SPARK)

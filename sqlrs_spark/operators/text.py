@@ -1168,6 +1168,25 @@ def _p33(spark_dialect: bool) -> str:
 
     ng, t_ = _P33_NG, _P33_T
     if spark_dialect:
+        # r8 optimization-round rewrite (guide §2.3/§2.4): the r7 Spark
+        # formulation exploded EVERY token position (tokpos), joined the
+        # frequent starts back row-per-token, shuffled all token rows
+        # into a per-doc window for the coverage flag, and reassembled
+        # with an ordered string_agg — three token-granular passes
+        # (plans/r08/p33_span_scrub_before.txt nodes 4/30/32/34/36-37)
+        # whose shuffles carried the token text.  But coverage is just
+        # the union of fixed-length intervals [s, s+5) over the
+        # FREQUENT starts, which are corpus-rare: collect each doc's
+        # sorted start list (ps) once, and both outputs fall out of
+        # per-doc array expressions —
+        #   n_removed = sum over consecutive starts of least(ng, s - p)
+        #     (fixed-length interval union size),
+        #   kept = the inter-interval gap slices of tk, flattened —
+        # so after `starts` the only shuffles are the freq aggregate,
+        # one (doc_id, i)-narrow collect_list, and the final sort; no
+        # token text ever shuffles and the per-doc work is O(n + |ps|).
+        # The DuckDB oracle keeps the r7 window formulation — the
+        # driver hash proves the equivalence.
         toks = "split(text, ' ')"
         gram = md5int_spark(f"concat_ws(' ', slice(tk, i, {ng}))")
         starts_src = (
@@ -1175,29 +1194,59 @@ def _p33(spark_dialect: bool) -> str:
             f" LATERAL VIEW explode(sequence(1, size(tk) - {ng - 1})) sx AS i"
             f" WHERE size(tk) >= {ng}"
         )
-        tokpos_src = (
-            "SELECT doc_id, pos + 1 AS i, tok FROM toks"
-            " LATERAL VIEW posexplode(tk) tp AS pos, tok"
-        )
-        kept_agg = (
-            "string_agg(CASE WHEN covered = 0 THEN tok END, ' ')"
-            " WITHIN GROUP (ORDER BY i)"
-        )
-        digest = md5int_spark("COALESCE(kept, '')")
-    else:
-        toks = "string_split(text, ' ')"
-        gram = md5int_duck(f"array_to_string(tk[i:i+{ng - 1}], ' ')")
-        starts_src = (
-            f"SELECT doc_id, unnest(range(1, len(tk) - {ng - 2})) AS i,"
-            f" unnest(list_transform(range(1, len(tk) - {ng - 2}), i -> {gram})) AS g"
-            f" FROM toks WHERE len(tk) >= {ng}"
-        )
-        tokpos_src = (
-            "SELECT doc_id, unnest(range(1, len(tk) + 1)) AS i,"
-            " unnest(tk) AS tok FROM toks"
-        )
-        kept_agg = "string_agg(CASE WHEN covered = 0 THEN tok END, ' ' ORDER BY i)"
-        digest = md5int_duck("COALESCE(kept, '')")
+        digest = md5int_spark("kept")
+        return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS tk FROM documents WHERE text IS NOT NULL
+),
+starts AS (
+  {starts_src}
+),
+freq AS (
+  SELECT g FROM starts GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {t_}
+),
+fsdoc AS (
+  SELECT s.doc_id, array_sort(collect_list(s.i)) AS ps
+  FROM starts s JOIN freq f ON s.g = f.g
+  GROUP BY s.doc_id
+),
+scrub AS (
+  SELECT t.doc_id, size(t.tk) AS n_tokens,
+         coalesce(p.ps, cast(array() as array<int>)) AS ps, t.tk AS tk
+  FROM toks t LEFT JOIN fsdoc p ON t.doc_id = p.doc_id
+),
+agg AS (
+  SELECT doc_id, n_tokens,
+         aggregate(
+           zip_with(ps, slice(concat(array({1 - ng}), ps), 1, size(ps)),
+                    (s, p) -> least({ng}, s - p)),
+           0, (acc, x) -> acc + x) AS n_removed,
+         concat_ws(' ', flatten(
+           zip_with(concat(ps, array(n_tokens + 1)), concat(array({1 - ng}), ps),
+                    (s, p) -> slice(tk, p + {ng}, greatest(s - p - {ng}, 0))))) AS kept
+  FROM scrub
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_removed AS BIGINT) AS n_removed,
+       CAST({digest} AS BIGINT) AS kept_digest,
+       n_removed > 0 AS changed
+FROM agg
+ORDER BY doc_id
+"""
+    toks = "string_split(text, ' ')"
+    gram = md5int_duck(f"array_to_string(tk[i:i+{ng - 1}], ' ')")
+    starts_src = (
+        f"SELECT doc_id, unnest(range(1, len(tk) - {ng - 2})) AS i,"
+        f" unnest(list_transform(range(1, len(tk) - {ng - 2}), i -> {gram})) AS g"
+        f" FROM toks WHERE len(tk) >= {ng}"
+    )
+    tokpos_src = (
+        "SELECT doc_id, unnest(range(1, len(tk) + 1)) AS i,"
+        " unnest(tk) AS tok FROM toks"
+    )
+    kept_agg = "string_agg(CASE WHEN covered = 0 THEN tok END, ' ' ORDER BY i)"
+    digest = md5int_duck("COALESCE(kept, '')")
     return f"""
 WITH toks AS (
   SELECT doc_id, {toks} AS tk FROM documents WHERE text IS NOT NULL

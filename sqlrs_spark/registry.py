@@ -113,8 +113,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # prefill keeps a row legal under its tier cadence until r9:
     "p10_dedup_canonical",
     "s08_stream_foreachbatch_sink",
-    "q03_shipping_priority",
     "p16_dedup_minhash_capped",
+    # (d') optimization-round-8 rewrite: p33's Spark dialect moved to
+    # per-doc interval arithmetic (no token-granular shuffles) — takes
+    # q03's pool slot (q03 is code-identical since its r6 row and stays
+    # r9-claimable like the other displaced prefills):
+    "p33_span_scrub",
     # (e) mid-round-8 rewrites, swapped in from the pool above (displacing
     # t14_vocab_growth, x28_qualify_topk, p25, p28, p29, t11, t12 — all
     # still r9-claimable).  p38: corpus-driven plane pool (r7 verdict #4).
