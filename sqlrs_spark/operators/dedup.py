@@ -361,96 +361,184 @@ def p05_dedup_embedding(spark, sf_dir):
 # p09 — dedup clustering: connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
 
-_CC_MAX_ITERS = 25
+_CC_MAX_ITERS = 50
+
+
+def _pinned_fresh_stats(df):
+    """``localCheckpoint`` + planner-statistics reset, for iterative loops.
+
+    Dataset.localCheckpoint deliberately carries the PRE-checkpoint plan's
+    estimated statistics into the resulting LogicalRDD (SPARK-39834, so a
+    checkpointed small frame can still static-broadcast).  Inside a loop
+    that self-joins its own previous round that inheritance is exponential
+    poison: round r's size estimate is a *product* over round r-1's
+    already-estimated sizes (two joins per round cube it), so the stored
+    sizeInBytes BigInt gains ~3x its digits every round and by round ~18
+    the driver burns MINUTES per round in BigInteger.multiply inside
+    SizeInBytesOnlyStatsPlanVisitor — jstack'd on p40 at sf0.1 (r8
+    optimization round): Thread-3 pegged in multiplyToomCook3, round wall
+    2s → 21s → 28s → 91s, 144.7s total for a 2000-node graph.
+
+    Rebuilding the frame from the checkpointed RDD[InternalRow] keeps the
+    materialized partitions (lineage stays truncated, nothing recomputes)
+    but drops sizeInBytesOpt, so every round plans against the constant
+    default estimate — planning cost is flat per round (measured: the
+    p40 bench entry 144.7s → see OPTIMIZATION_r08.md).  Join-strategy
+    honesty is unchanged: the default estimate disables only the STATIC
+    broadcast decision; AQE still converts each round's tiny shuffles to
+    broadcasts at runtime from MEASURED sizes, and at 100 TB label
+    frames must not broadcast anyway.
+    """
+    from pyspark.sql import DataFrame
+
+    ck = df.localCheckpoint()
+    jdf = ck._jdf
+    fresh = df.sparkSession._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(fresh, df.sparkSession)
+
+
+def _star_step(df, large: bool):
+    """One large-star or small-star step over a symmetric (src, nbr)
+    edge frame — the two alternating operations of the MapReduce
+    connected-components algorithm of Kiveris et al. (2014).
+
+    Per node v with m = min(Γ(v) ∪ {v}):
+      large-star: re-attach every neighbor u > v to m;
+      small-star: re-attach every neighbor u < v, and v itself, to m.
+    Both return the new edge set symmetric and deduplicated.  The per-v
+    minimum rides each edge row via a window over the SAME src hash
+    partitioning the step shuffles on anyway, so a step is one exchange
+    for the window plus one for the distinct.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    m = F.least(F.min("nbr").over(Window.partitionBy("src")), F.col("src"))
+    base = df.select("src", "nbr", m.alias("m"))
+    emitted = F.when(
+        F.col("nbr") > F.col("src") if large else F.col("nbr") < F.col("src"),
+        F.struct(F.col("nbr").alias("a"), F.col("m").alias("b")),
+    )
+    arr = [emitted]
+    if not large:
+        # v itself re-attaches to m (dedupe handles the per-row repeat)
+        arr.append(F.struct(F.col("src").alias("a"), F.col("m").alias("b")))
+    pairs = (
+        base.select(F.explode(F.array(*arr)).alias("p"))
+        .select("p.a", "p.b")
+        .where("a IS NOT NULL AND a <> b")
+    )
+    return (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("nbr")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("nbr")),
+                )
+            ).alias("q")
+        )
+        .select("q.src", "q.nbr")
+        .distinct()
+    )
+
+
+def _is_star_forest(e) -> bool:
+    """Exact convergence test for the star algorithm: the edge set is a
+    forest of min-rooted stars iff every node is either a root (all
+    neighbors larger) or a member (exactly one neighbor, smaller).  One
+    aggregation over the pinned edge frame — no set comparison against
+    the previous round needed, and star forests are verified fixpoints
+    of both star steps, so a pass certifies convergence."""
+    from pyspark.sql import functions as F
+
+    return (
+        e.groupBy("src")
+        .agg(
+            F.min("nbr").alias("mn"),
+            F.max("nbr").alias("mx"),
+            F.count("nbr").alias("n"),
+        )
+        .where(
+            ~(
+                (F.col("mn") > F.col("src"))
+                | ((F.col("n") == 1) & (F.col("mx") < F.col("src")))
+            )
+        )
+        .count()
+        == 0
+    )
 
 
 def connected_components(edges, nodes, max_iters: int = _CC_MAX_ITERS):
-    """Min-label propagation connected components over an edge DataFrame.
+    """Connected components by alternating large-star / small-star steps
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
 
     ``edges``: (a, b) undirected pairs; ``nodes``: (doc_id) — singletons
-    become their own cluster.  Each iteration joins labels across edges and
-    takes the min — the standard Spark pattern for components when graph
-    libraries aren't available.  Converges in O(component diameter)
-    iterations; dedup clusters are shallow, so this is a handful of rounds.
+    become their own cluster; returned labels are the component MINIMUM id.
 
-    Scale notes: every round is one shuffle keyed by doc_id over
-    (id, label) longs — never document bodies; `localCheckpoint` truncates
-    the lineage so round N's plan doesn't replay rounds 1..N-1 (on a real
-    cluster use `spark.sparkContext.setCheckpointDir` + `checkpoint()` for
-    fault tolerance instead); convergence is detected with a count of
-    changed labels, which is a cheap aggregate, not a collect of the data.
+    r8 optimization-round rewrite, third algorithm standing.  The r7
+    min-label propagation moved the minimum one graph hop per round
+    (21 rounds on the sf0.1 mutual-kNN graph, and its 82-node chain
+    silently exhausted max_iters before the r8 convergence certification
+    landed); plain label-contraction fixes that graph (5 rounds) but
+    degenerates back to O(n) on a monotone-id chain, where every node
+    hooks to a DISTINCT target and no super-node ever forms (caught by
+    tests/test_connected_components.py before it shipped).  The star
+    alternation is the standard fix: large-star halves long paths by
+    re-attaching the larger endpoints directly to local minima,
+    small-star flattens the resulting trees into stars.  Simulated
+    rounds (verified against BFS ground truth): sf0.1 p38 graph 6,
+    monotone 4k-chain 13, monotone 1M-chain 21 — ~log2(n) growth, so
+    ``max_iters`` 50 certifies far past any real corpus.
+
+    Cost shape: state is ONLY the edge set — (long, long) rows, no
+    label table inside the loop (document bodies and embeddings never
+    enter it).  A round is one pinned query (large-star + small-star
+    chained: window → explode → dedupe, twice) plus one aggregation for
+    the exact star-forest convergence test — two jobs, versus the label
+    loop's four.  Edges only ever re-attach within their component, and
+    the component minimum keeps all its edges, so the star roots ARE the
+    component minima; final labels are one aggregation over the
+    converged stars left-joined onto ``nodes``.
+
+    Convergence is certified, not assumed: a non-star edge set after
+    ``max_iters`` raises rather than returning silently-wrong labels.
+    Every round is pinned via :func:`_pinned_fresh_stats`:
+    localCheckpoint truncates lineage so round N never replays rounds
+    1..N-1 (p40's first bench run re-executed p38's whole LSH pipeline
+    per round: 76.9s at sf0.1), and the stats reset stops the checkpoint
+    from carrying exponentially-poisoned size estimates into the next
+    round's planning (the BigInteger blowup in that helper's docstring).
+    On a real cluster use ``setCheckpointDir`` + ``checkpoint()`` for
+    fault tolerance instead of localCheckpoint.
     """
     from pyspark.sql import functions as F
 
-    # localCheckpoint the EDGE LIST, not just the labels: `edges` is a
-    # lazy plan (p04's candidate pipeline for p09, p38's whole LSH
-    # scoring pipeline for p40), and without materialization every
-    # label-propagation round RE-EXECUTES it — measured on p40 at sf0.1:
-    # 76.9s with the lazy plan vs ~8s with edges pinned once (r8).
-    bidir = (
+    e = _pinned_fresh_stats(
         edges.selectExpr("a AS src", "b AS nbr")
         .unionByName(edges.selectExpr("b AS src", "a AS nbr"))
-        .localCheckpoint()
+        .where("src <> nbr")
+        .distinct()
     )
-    labels = nodes.select(
-        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint()
-    changed = -1
-    for _ in range(max_iters):
-        # POINTER JUMP first: l2(v) = l(l(v)).  Labels are monotonically
-        # non-increasing and always name a node of v's own component, so
-        # jumping compresses label chains and convergence needs
-        # O(log diameter) rounds instead of O(diameter).  Round-8 fix:
-        # the r7 plain propagation needed ~diameter rounds, and the
-        # sf0.1 mutual-kNN graph holds an 82-node chain — max_iters=25
-        # returned silently UNCONVERGED labels (p40's only red oracle
-        # row).  The jump joins two references to the SAME checkpointed
-        # frame, so it adds one small (id, label)-shuffle, no recompute.
-        jt = labels.selectExpr("doc_id AS j_id", "cluster_id AS j_lab")
-        # prev = the ROUND-START label, carried straight out of the jump
-        # join (no extra attach join); the node's own row is the only
-        # one with prev non-null, so the max() below selects it and
-        # convergence is a filter+count over the just-checkpointed
-        # result instead of the r7 version's extra labels-to-labels
-        # shuffle join per round.  new <= l(l(v)) <= l(v) = prev
-        # elementwise, so changed == 0 certifies the jump AND the
-        # relaxation are both at fixpoint.
-        jumped = (
-            labels.join(jt, labels["cluster_id"] == jt["j_id"])
-            .select(
-                "doc_id",
-                F.col("j_lab").alias("cluster_id"),
-                F.col("cluster_id").alias("prev"),
-            )
-        )
-        nbr_labels = (
-            bidir.join(jumped, bidir["nbr"] == jumped["doc_id"])
-            .select(
-                F.col("src").alias("doc_id"),
-                F.col("cluster_id"),
-                F.lit(None).cast("long").alias("prev"),
-            )
-        )
-        new_labels = (
-            jumped.unionByName(nbr_labels)
-            .groupBy("doc_id")
-            .agg(
-                F.min("cluster_id").alias("cluster_id"),
-                F.max("prev").alias("prev"),
-            )
-            .localCheckpoint()
-        )
-        changed = new_labels.filter(
-            F.col("cluster_id") != F.col("prev")
-        ).count()
-        labels = new_labels.select("doc_id", "cluster_id")
-        if changed == 0:
-            break
-    if changed != 0:
+    converged = _is_star_forest(e)
+    rounds = 0
+    while not converged and rounds < max_iters:
+        rounds += 1
+        e = _pinned_fresh_stats(_star_step(_star_step(e, large=True), large=False))
+        converged = _is_star_forest(e)
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds"
         )
-    return labels
+    roots = e.groupBy("src").agg(
+        F.least(F.min("nbr"), F.col("src")).alias("m")
+    )
+    return (
+        nodes.join(roots, nodes["doc_id"] == roots["src"], "left")
+        .select("doc_id", F.coalesce("m", "doc_id").alias("cluster_id"))
+    )
 
 
 _P09_ORACLE = f"""
