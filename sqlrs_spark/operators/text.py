@@ -449,10 +449,48 @@ def _p20(spark_dialect: bool) -> str:
     # are bit-identical cross-engine — no ln(), no float-sum order
     # nondeterminism, which is what keeps this windowed top-k inside the
     # driver's value-hash gate.
+    #
+    # r8 optimization round, Spark dialect only: df is derived FROM the
+    # tf aggregate — the tf rows are exactly the distinct (doc_id, tok)
+    # pairs, so COUNT(*) OVER (PARTITION BY tok) on them IS
+    # COUNT(DISTINCT doc_id) per token.  The r7 formulation ran a SECOND
+    # full scan + explode + (tok, doc_id)-distinct aggregate for df and
+    # then broadcast the vocabulary back onto tf (guide §2.4): one whole
+    # token-explode pass and one exchange gone, and the vocab-sized
+    # broadcast (a scale hazard — vocabulary grows with corpus at 100 TB)
+    # is replaced by a window over the same tok partitioning the df
+    # aggregate needed anyway.  Scores and ordering are unchanged —
+    # measured bit-identical vs the (unchanged) DuckDB formulation at
+    # sf0.001/0.01/0.1.
     if spark_dialect:
-        tok_src = "LATERAL VIEW explode(split(text, ' ')) AS tok"
-    else:
-        tok_src = ", unnest(string_split(text, ' ')) AS u(tok)"
+        return f"""
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM documents LATERAL VIEW explode(split(text, ' ')) AS tok
+  GROUP BY doc_id, tok
+),
+withdf AS (
+  SELECT doc_id, tok, tf, COUNT(*) OVER (PARTITION BY tok) AS df FROM tf
+),
+n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+),
+scored AS (
+  SELECT doc_id, tok, tf, df,
+         CAST(tf AS DOUBLE) * n.n_docs / df AS score
+  FROM withdf CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, tok, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM ranked WHERE rank <= {_P20_TOP_K}
+ORDER BY doc_id, rank
+"""
+    tok_src = ", unnest(string_split(text, ' ')) AS u(tok)"
     return f"""
 WITH tok AS (
   SELECT doc_id, tok FROM documents {tok_src}
@@ -490,13 +528,15 @@ def p20_tfidf_terms(spark, sf_dir):
     logarithm (exact rational score, see _p20) so ranking is
     deterministic across engines.
 
-    Scale shape: the classic two-statistic join — term frequencies
-    shuffle on (doc_id, tok), document frequencies on tok, then a single
-    equi-join on tok recombines them (partial aggregation makes the df
-    pass a map-side combine over distinct doc ids).  The per-doc top-k
-    is one window over the tf partition.  At 100 TB: vocabulary
-    cardinality, not corpus size, bounds the df side, and no stage
-    carries document text past the first explode.
+    Scale shape (r8): ONE explode pass — term frequencies shuffle on
+    (doc_id, tok), document frequencies are a window count over the tok
+    partitioning of those same tf rows (tf rows are exactly the
+    distinct (doc, tok) pairs, so the window count IS df), then the
+    per-doc top-k window re-partitions by doc_id.  The r7 shape ran a
+    second scan + explode + distinct-aggregate for df and broadcast the
+    vocabulary back onto tf; at 100 TB the vocabulary grows with the
+    corpus, so that broadcast was a scale hazard as well as a wasted
+    pass.  No stage carries document text past the first explode.
     """
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_p20(True))

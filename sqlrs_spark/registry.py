@@ -157,9 +157,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # rewrite genuinely cannot claim a window slot.
 REWRITE_DEBT: dict[str, int] = {
     # Round-8 curation rotated all eleven round-7 debt entries (p05/p07/
-    # p08/p15, x31-x33, s02/s03/s11/s12) into DRIVER_WINDOW — debt paid,
-    # dict empty.  A mid-round-8 rewrite should take a slot from the
-    # window's swap pool (section (d)) before registering new debt here.
+    # p08/p15, x31-x33, s02/s03/s11/s12) into DRIVER_WINDOW — debt paid.
+    # A mid-round rewrite should take a slot from the window's swap pool
+    # (section (d)) before registering new debt here — but by the r8
+    # optimization round every pool slot already holds a rewritten entry
+    # (p10/q34's unpack fix, s08/s05's NaN guard, p16's checkpoint
+    # rewrite, p33's interval rewrite), so the optimization rewrites
+    # below use the escape hatch and are r9's first rotation claim:
+    #
+    # p20: df derived from the tf aggregate via a window — one explode
+    # pass instead of two, vocab broadcast removed (optimization r8;
+    # results proven bit-identical vs the unchanged DuckDB oracle at
+    # sf0.001/0.01/0.1 in-round).
+    "p20_tfidf_terms": 8,
 }
 
 
