@@ -399,7 +399,7 @@ def _pinned_fresh_stats(df):
     return DataFrame(fresh, df.sparkSession)
 
 
-def _star_step(df, large: bool):
+def _star_step(df, large: bool, dedupe: bool = True):
     """One large-star or small-star step over a symmetric (src, nbr)
     edge frame — the two alternating operations of the MapReduce
     connected-components algorithm of Kiveris et al. (2014).
@@ -407,10 +407,19 @@ def _star_step(df, large: bool):
     Per node v with m = min(Γ(v) ∪ {v}):
       large-star: re-attach every neighbor u > v to m;
       small-star: re-attach every neighbor u < v, and v itself, to m.
-    Both return the new edge set symmetric and deduplicated.  The per-v
-    minimum rides each edge row via a window over the SAME src hash
-    partitioning the step shuffles on anyway, so a step is one exchange
-    for the window plus one for the distinct.
+    Both return the new edge set symmetric.  The per-v minimum rides each
+    edge row via a window over the SAME src hash partitioning the step
+    shuffles on anyway, so a step is one exchange for the window plus —
+    only when ``dedupe`` — one for the distinct.
+
+    ``dedupe=False`` (guide §2.4, measured −12% per p40 execution at
+    sf0.1): a round chains LS then SS, and SS's window re-groups by src
+    regardless, so duplicate edges out of LS cannot change any per-src
+    minimum — skipping LS's distinct drops one exchange per round and the
+    round-final SS distinct still emits a deduplicated edge set.
+    Duplicate growth is bounded within the round: LS emits at most one
+    pair per input edge row, so SS sees ≤ 2x rows, never a compounding
+    blowup (the round output IS deduplicated before the next round).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -430,7 +439,7 @@ def _star_step(df, large: bool):
         .select("p.a", "p.b")
         .where("a IS NOT NULL AND a <> b")
     )
-    return (
+    sym = (
         pairs.select(
             F.explode(
                 F.array(
@@ -440,8 +449,8 @@ def _star_step(df, large: bool):
             ).alias("q")
         )
         .select("q.src", "q.nbr")
-        .distinct()
     )
+    return sym.distinct() if dedupe else sym
 
 
 def _is_star_forest(e) -> bool:
@@ -526,7 +535,13 @@ def connected_components(edges, nodes, max_iters: int = _CC_MAX_ITERS):
     rounds = 0
     while not converged and rounds < max_iters:
         rounds += 1
-        e = _pinned_fresh_stats(_star_step(_star_step(e, large=True), large=False))
+        # LS's distinct is skipped (dedupe=False): SS's window re-groups
+        # by src anyway, so LS duplicates cannot change any minimum and
+        # the round-final SS distinct restores uniqueness — one exchange
+        # fewer per round (measured −12% per p40 execution at sf0.1)
+        e = _pinned_fresh_stats(
+            _star_step(_star_step(e, large=True, dedupe=False), large=False)
+        )
         converged = _is_star_forest(e)
     if not converged:
         raise RuntimeError(
