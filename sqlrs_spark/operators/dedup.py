@@ -480,6 +480,53 @@ def _is_star_forest(e) -> bool:
     )
 
 
+def _pin_star_round(df):
+    """Dedupe a symmetric edge emission, certify the star-forest test and
+    pin the result — all inside the ONE job that materializes the round
+    (r8 optimization round, guide §1.2/§2.4).
+
+    The previous loop body paid two jobs per round: the checkpoint that
+    materialized the round's edge set, then :func:`_is_star_forest` — a
+    second job whose groupBy re-shuffled the edges it had just written.
+    At bench scale the loop is fixed-overhead-bound (sf0.1: 0.35 s step +
+    0.13 s check per round), and at cluster scale the check is a whole
+    extra stage per round; both halve by computing the SAME per-src stats
+    (min/max/count of nbr) as window expressions over the deduped edges
+    and draining ``SUM(viol)`` through ``observe()`` during the checkpoint
+    job itself (verified: CollectMetrics fires under localCheckpoint).
+
+    One exchange serves all three consumers: ``repartition("src")``
+    establishes hash(src) partitioning, which satisfies the distinct on
+    (src, nbr) — equal pairs share a src — AND the src-partitioned stats
+    window, so dedup + convergence stats add no exchange beyond the one
+    the round's distinct always paid.  The stats window buffers one src
+    group at a time, the same unit :func:`_star_step`'s min-window already
+    buffers, so no new skew class is introduced.  The viol column is
+    projected away BELOW the checkpoint — pinned rounds stay (long, long).
+
+    Returns ``(pinned_edges, converged)``; the test is exact, so
+    convergence certification (raise on budget exhaustion, never return
+    silently-wrong labels) is unchanged.
+    """
+    from pyspark.sql import Observation, Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("src")
+    dd = df.repartition("src").dropDuplicates(["src", "nbr"])
+    viol = ~(
+        (F.min("nbr").over(w) > F.col("src"))
+        | ((F.count("nbr").over(w) == 1) & (F.max("nbr").over(w) < F.col("src")))
+    )
+    obs = Observation()
+    observed = (
+        dd.withColumn("viol", viol.cast("long"))
+        .observe(obs, F.sum("viol").alias("nviol"))
+        .select("src", "nbr")
+    )
+    pinned = _pinned_fresh_stats(observed)
+    return pinned, (obs.get["nviol"] or 0) == 0
+
+
 def connected_components(edges, nodes, max_iters: int = _CC_MAX_ITERS):
     """Connected components by alternating large-star / small-star steps
     (Kiveris et al., "Connected Components in MapReduce and Beyond").
@@ -504,10 +551,12 @@ def connected_components(edges, nodes, max_iters: int = _CC_MAX_ITERS):
 
     Cost shape: state is ONLY the edge set — (long, long) rows, no
     label table inside the loop (document bodies and embeddings never
-    enter it).  A round is one pinned query (large-star + small-star
-    chained: window → explode → dedupe, twice) plus one aggregation for
-    the exact star-forest convergence test — two jobs, versus the label
-    loop's four.  Edges only ever re-attach within their component, and
+    enter it).  A round is ONE job (r8: :func:`_pin_star_round` — the
+    large-star + small-star chain, with the round's dedup and the exact
+    star-forest convergence stats sharing a single src-hash exchange and
+    the convergence count drained through ``observe()`` during the
+    checkpoint), versus the label loop's four and the first star
+    formulation's two.  Edges only ever re-attach within their component, and
     the component minimum keeps all its edges, so the star roots ARE the
     component minima; final labels are one aggregation over the
     converged stars left-joined onto ``nodes``.
@@ -525,24 +574,22 @@ def connected_components(edges, nodes, max_iters: int = _CC_MAX_ITERS):
     """
     from pyspark.sql import functions as F
 
-    e = _pinned_fresh_stats(
+    e, converged = _pin_star_round(
         edges.selectExpr("a AS src", "b AS nbr")
         .unionByName(edges.selectExpr("b AS src", "a AS nbr"))
         .where("src <> nbr")
-        .distinct()
     )
-    converged = _is_star_forest(e)
     rounds = 0
     while not converged and rounds < max_iters:
         rounds += 1
-        # LS's distinct is skipped (dedupe=False): SS's window re-groups
-        # by src anyway, so LS duplicates cannot change any minimum and
-        # the round-final SS distinct restores uniqueness — one exchange
-        # fewer per round (measured −12% per p40 execution at sf0.1)
-        e = _pinned_fresh_stats(
-            _star_step(_star_step(e, large=True, dedupe=False), large=False)
+        # Both steps skip their own distinct (dedupe=False): SS's window
+        # re-groups by src anyway, so LS duplicates cannot change any
+        # minimum, and _pin_star_round dedupes the round output inside
+        # the same exchange its stats window needs — one job and one
+        # exchange fewer per round than the r7 step+check pair.
+        e, converged = _pin_star_round(
+            _star_step(_star_step(e, large=True, dedupe=False), large=False, dedupe=False)
         )
-        converged = _is_star_forest(e)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds"

@@ -1078,38 +1078,85 @@ def p38_knn_graph(spark, sf_dir):
 def _p38_mutual_edges(spark, sf_dir):
     """p38's mutual-edge set WITHOUT the presentation sort — p40 feeds
     these straight into connected components (which re-shuffles anyway),
-    so only p38 itself pays the final range exchange."""
+    so only p38 itself pays the final range exchange.
+
+    r8 optimization-round restructure (guide §2.4/§4.2): a vector lives in
+    exactly ONE LSH cell, and p38's candidate pairs, directed top-k AND
+    mutuality test are all confined to pairs sharing a cell — so the whole
+    pairing stage collapses into one per-cell kernel after a single
+    exchange by cell.  The previous plan shuffled the (vec_id, v, nrm,
+    cell) frame TWICE (both self-join sides — the numpy cell kernel ran
+    once per side), re-shuffled the directed candidates for the top-k
+    window, and shuffled again for the mutuality hash-agg: 4 exchanges and
+    ~2x the payload bytes of the single exchange this needs.  Measured
+    same-session at sf0.1: mutual edges 1.59 s -> see OPTIMIZATION_r08.md.
+
+    Bit-exactness vs the unchanged DuckDB oracle (driver hash-checked):
+    the pair dot product folds ``acc += v_a[d] * v_b[d]`` strictly
+    left-to-right from a 0.0 accumulator — the same IEEE sequence as the
+    SQL ``aggregate(zip_with(..), 0.0, (acc, p) -> acc + p)``; cosine is
+    one divide by ``sqrt(nrm_a * nrm_b)``; the top-k order (cosine DESC,
+    dst_id ASC) is the window's ROW_NUMBER order; and the two directions'
+    cosines are bit-identical (elementwise products commute), so emitting
+    the pair value IS the oracle's MIN(cosine).
+
+    Scale/tradeoff notes: the exchange carries each vector once instead
+    of twice; per-cell work is O(cell^2 * dim) either way, but a skewed
+    cell is now one kernel invocation instead of an AQE-splittable join
+    partition — acceptable because kbits pins E[cell] ~ {_P38_CELL}
+    (tests/test_ann_quality.py) and the kernel blocks its pair matrix to
+    ~32 MB regardless of cell size.
+    """
+    import numpy as np
+    import pandas as pd
+
     cells = p38_cells(spark, sf_dir)
-    cells.createOrReplaceTempView("p38_cells_v")
-    dot = (
-        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), "
-        "cast(0.0 as double), (acc, p) -> acc + p)"
-    )
-    return spark.sql(
-        f"""
-WITH pairs AS (
-  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
-         {dot} / sqrt(a.nrm * b.nrm) AS cosine
-  FROM p38_cells_v a JOIN p38_cells_v b
-    ON a.cell = b.cell AND a.vec_id <> b.vec_id
-),
-knn AS (
-  SELECT src_id, dst_id, cosine FROM (
-    SELECT src_id, dst_id, cosine,
-           ROW_NUMBER() OVER (PARTITION BY src_id
-                              ORDER BY cosine DESC, dst_id) AS rk
-    FROM pairs
-  ) d WHERE rk <= {_P38_K}
-)
-SELECT src_id, dst_id, cosine FROM (
-  SELECT least(src_id, dst_id) AS src_id,
-         greatest(src_id, dst_id) AS dst_id,
-         MIN(cosine) AS cosine,
-         COUNT(*) AS n_directions
-  FROM knn GROUP BY 1, 2
-) undirected
-WHERE n_directions = 2
-"""
+    k = _P38_K
+
+    def cell_graph(key, pdf):
+        m = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "src_id": pd.Series([], dtype="int64"),
+                "dst_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if m < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack(pdf["v"].to_numpy())  # (m, 64) float64
+        nrm = pdf["nrm"].to_numpy()
+        # strict left-to-right fold per pair (== the SQL aggregate
+        # bit-for-bit), blocked so the (blk, m) accumulator stays small
+        C = np.empty((m, m), dtype=np.float64)
+        blk = max(1, (32 << 20) // (m * 8))
+        for s in range(0, m, blk):
+            e = min(s + blk, m)
+            acc = np.zeros((e - s, m), dtype=np.float64)
+            for d in range(V.shape[1]):
+                acc += V[s:e, None, d] * V[None, :, d]
+            C[s:e] = acc
+        C /= np.sqrt(nrm[:, None] * nrm[None, :])
+        np.fill_diagonal(C, -np.inf)  # self-pairs sort last, never picked
+        # ROW_NUMBER over (cosine DESC, dst_id ASC): lexsort, last key primary
+        order = np.lexsort((np.broadcast_to(ids, (m, m)), -C), axis=1)
+        top = order[:, : min(k, m - 1)]
+        K = np.zeros((m, m), dtype=bool)
+        K[np.arange(m)[:, None], top] = True
+        iu, ju = np.nonzero(np.triu(K & K.T, 1))
+        if len(iu) == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "src_id": np.minimum(ids[iu], ids[ju]),
+                "dst_id": np.maximum(ids[iu], ids[ju]),
+                "cosine": C[iu, ju],
+            }
+        )
+
+    return cells.groupBy("cell").applyInPandas(
+        cell_graph, schema="src_id bigint, dst_id bigint, cosine double"
     )
 
 

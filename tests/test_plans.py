@@ -499,28 +499,34 @@ def test_p37_no_full_corpus_sort(spark, sf_dir):
 
 
 def test_p38_single_scoring_pass_and_no_unbounded_nlj(spark, sf_dir):
-    """p38's mutuality must come from the unordered-edge aggregation, not
-    a knn-self-join (which would duplicate the whole scoring pipeline):
-    exactly one cell candidate equi-join and one directed-top-k window.
-    Cell assignment is a projection (round-7 rewrite: adaptive LSH bits,
-    no assignment join) — the only nested-loop joins allowed are the two
-    1-row kbits broadcasts."""
+    """p38's pairing stage is ONE per-cell kernel behind ONE exchange
+    (r8 optimization round): a vector lives in exactly one LSH cell, so
+    candidates, directed top-k and mutuality all resolve inside
+    FlatMapGroupsInPandas — the plan must carry NO join of any kind
+    (the r7 shape self-joined the cell frame, re-shuffled for a top-k
+    window and again for the mutuality agg), no window, and exactly one
+    hash exchange on the cell key plus the presentation sort."""
     df = SPECS["p38_knn_graph"].fn(spark, sf_dir)
     s = explain_str(df)
     assert "CartesianProduct" not in s
-    # exactly ONE window: the directed top-k; a knn-self-join would
-    # double it (and the cell join)
-    assert count_nodes(df, "Window") == 1, "knn pipeline must not run twice"
-    # exactly ONE cell equi-join, whatever physical strategy the stats
-    # pick (broadcast at toy SFs, shuffle at scale)
-    equi = (
+    assert count_nodes(df, "FlatMapGroupsInPandas") == 1, "one cell kernel"
+    # the whole knn pipeline runs once, joinless and windowless
+    assert count_nodes(df, "Window") == 0, "top-k lives in the kernel"
+    joins = (
         count_nodes(df, "SortMergeJoin")
         + count_nodes(df, "ShuffledHashJoin")
         + count_nodes(df, "BroadcastHashJoin")
+        + count_nodes(df, "BroadcastNestedLoopJoin")
     )
-    assert equi == 1, f"expected one cell candidate join, saw {equi}"
-    # the 1-row n_cells scalar broadcast under each `cells` reference
-    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 2
+    assert joins == 0, f"pairing must be joinless, saw {joins} joins"
+    # one cell-hash exchange + the final presentation range sort
+    # (formatted mode prints exchange keys on Arguments: detail lines)
+    hash_ex = [
+        ln
+        for ln in s.splitlines()
+        if "Arguments: hashpartitioning" in ln
+    ]
+    assert len(hash_ex) == 1 and "cell" in hash_ex[0], hash_ex
 
 
 def test_m09_alignment_is_windowed_not_pair_joined(spark, sf_dir):
