@@ -527,7 +527,9 @@ def _pin_star_round(df):
     return pinned, (obs.get["nviol"] or 0) == 0
 
 
-def connected_components(edges, nodes, max_iters: int = _CC_MAX_ITERS):
+def connected_components(
+    edges, nodes, max_iters: int = _CC_MAX_ITERS, rounds_per_pin: int = 2
+):
     """Connected components by alternating large-star / small-star steps
     (Kiveris et al., "Connected Components in MapReduce and Beyond").
 
@@ -551,12 +553,14 @@ def connected_components(edges, nodes, max_iters: int = _CC_MAX_ITERS):
 
     Cost shape: state is ONLY the edge set — (long, long) rows, no
     label table inside the loop (document bodies and embeddings never
-    enter it).  A round is ONE job (r8: :func:`_pin_star_round` — the
-    large-star + small-star chain, with the round's dedup and the exact
-    star-forest convergence stats sharing a single src-hash exchange and
-    the convergence count drained through ``observe()`` during the
-    checkpoint), versus the label loop's four and the first star
-    formulation's two.  Edges only ever re-attach within their component, and
+    enter it).  ``rounds_per_pin`` rounds share ONE job (r8:
+    :func:`_pin_star_round` — the large-star + small-star chains, with
+    the batch's dedup and the exact star-forest convergence stats
+    sharing a single src-hash exchange and the convergence count
+    drained through ``observe()`` during the checkpoint), versus the
+    label loop's four jobs per round and the first star formulation's
+    two; rpp=2 measured best at sf0.1 (loop comment), rpp=3's deeper
+    per-job plans gave the win back.  Edges only ever re-attach within their component, and
     the component minimum keeps all its edges, so the star roots ARE the
     component minima; final labels are one aggregation over the
     converged stars left-joined onto ``nodes``.
@@ -581,15 +585,34 @@ def connected_components(edges, nodes, max_iters: int = _CC_MAX_ITERS):
     )
     rounds = 0
     while not converged and rounds < max_iters:
-        rounds += 1
-        # Both steps skip their own distinct (dedupe=False): SS's window
-        # re-groups by src anyway, so LS duplicates cannot change any
-        # minimum, and _pin_star_round dedupes the round output inside
-        # the same exchange its stats window needs — one job and one
-        # exchange fewer per round than the r7 step+check pair.
-        e, converged = _pin_star_round(
-            _star_step(_star_step(e, large=True, dedupe=False), large=False, dedupe=False)
-        )
+        x = e
+        # ``rounds_per_pin`` LS+SS alternations share one pinned job
+        # (guide §1.2: the loop is fixed-overhead-bound — at sf0.1 each
+        # pin is a job submission + checkpoint materialization of the
+        # full edge set).  Exchange count per round is unchanged (the
+        # star steps' windows still shuffle); what halves is the number
+        # of job barriers and edge-set materializations.  Convergence is
+        # only TESTED at pin boundaries, so a graph converging mid-batch
+        # pays up to rounds_per_pin-1 extra star steps — star forests
+        # are fixpoints of both steps, so the output is unchanged and
+        # the waste is bounded by one batch.  Measured (same-session
+        # interleaved x3 at sf0.1, full p40): rpp=1 {5.50, 4.66, 4.00}
+        # vs rpp=2 {4.43, 3.94, 3.75} — rpp=2 won every interleave;
+        # rpp=3's deeper per-job plans gave the win back (see
+        # OPTIMIZATION_r08.md).  The batch is clamped to the remaining
+        # budget so max_iters still bounds TOTAL rounds exactly.
+        for _ in range(min(rounds_per_pin, max_iters - rounds)):
+            rounds += 1
+            # Both steps skip their own distinct (dedupe=False): SS's
+            # window re-groups by src anyway, so LS duplicates cannot
+            # change any minimum, and _pin_star_round dedupes the batch
+            # output inside the same exchange its stats window needs —
+            # one job and one exchange fewer per round than the r7
+            # step+check pair.
+            x = _star_step(
+                _star_step(x, large=True, dedupe=False), large=False, dedupe=False
+            )
+        e, converged = _pin_star_round(x)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds"

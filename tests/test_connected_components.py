@@ -88,6 +88,34 @@ def test_cc_cycle_star_parallel_and_singletons(spark):
     assert got[50] == 50 and got[51] == 51 and got[40] == 40
 
 
+def test_cc_rounds_per_pin_equivalent_and_budget_exact(spark):
+    # r8 job-batching: rounds_per_pin only changes how many LS+SS
+    # alternations share one pinned job — labels must be identical for
+    # any rpp, and max_iters must bound TOTAL rounds exactly (the batch
+    # is clamped, so an odd budget cannot overshoot).
+    from sqlrs_spark.operators.dedup import connected_components
+
+    ids = list(range(60, 0, -1))
+    chain = list(zip(ids, ids[1:]))
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in chain], "a long, b long"
+    )
+    nodes = spark.createDataFrame([(int(v),) for v in ids], "doc_id long")
+    want = _ground_truth(ids, chain)
+    for rpp in (1, 2, 3):
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(
+                edges, nodes, rounds_per_pin=rpp
+            ).collect()
+        }
+        assert got == want, f"rpp={rpp} diverged"
+    # 60-node decreasing chain needs >3 rounds: an odd budget must still
+    # raise under rpp=2 (clamp runs rounds 1-2 then exactly round 3).
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iters=3, rounds_per_pin=2).collect()
+
+
 def test_cc_unconverged_raises(spark):
     # certification: a graph that cannot finish in the given budget must
     # raise, never return silently-wrong labels (the r7 failure mode).
