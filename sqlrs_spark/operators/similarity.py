@@ -1114,7 +1114,6 @@ def _p38_mutual_edges(spark, sf_dir):
     k = _P38_K
 
     def cell_graph(key, pdf):
-        m = len(pdf)
         empty = pd.DataFrame(
             {
                 "src_id": pd.Series([], dtype="int64"),
@@ -1122,29 +1121,10 @@ def _p38_mutual_edges(spark, sf_dir):
                 "cosine": pd.Series([], dtype="float64"),
             }
         )
-        if m < 2:
+        r = _cell_mutual_topk(pdf, k)
+        if r is None:
             return empty
-        ids = pdf["vec_id"].to_numpy()
-        V = np.stack(pdf["v"].to_numpy())  # (m, 64) float64
-        nrm = pdf["nrm"].to_numpy()
-        # strict left-to-right fold per pair (== the SQL aggregate
-        # bit-for-bit), blocked so the (blk, m) accumulator stays small
-        C = np.empty((m, m), dtype=np.float64)
-        blk = max(1, (32 << 20) // (m * 8))
-        for s in range(0, m, blk):
-            e = min(s + blk, m)
-            acc = np.zeros((e - s, m), dtype=np.float64)
-            for d in range(V.shape[1]):
-                acc += V[s:e, None, d] * V[None, :, d]
-            C[s:e] = acc
-        C /= np.sqrt(nrm[:, None] * nrm[None, :])
-        np.fill_diagonal(C, -np.inf)  # self-pairs sort last, never picked
-        # ROW_NUMBER over (cosine DESC, dst_id ASC): lexsort, last key primary
-        order = np.lexsort((np.broadcast_to(ids, (m, m)), -C), axis=1)
-        top = order[:, : min(k, m - 1)]
-        K = np.zeros((m, m), dtype=bool)
-        K[np.arange(m)[:, None], top] = True
-        iu, ju = np.nonzero(np.triu(K & K.T, 1))
+        ids, iu, ju, C = r
         if len(iu) == 0:
             return empty
         return pd.DataFrame(
@@ -1158,6 +1138,50 @@ def _p38_mutual_edges(spark, sf_dir):
     return cells.groupBy("cell").applyInPandas(
         cell_graph, schema="src_id bigint, dst_id bigint, cosine double"
     )
+
+
+def _cell_mutual_topk(pdf, k):
+    """Mutual top-k pairs within ONE LSH cell — the shared numeric core of
+    p38 (edge list with cosines) and p40 (per-cell components over those
+    edges).  Returns ``(ids, iu, ju, C)`` — the cell's vec_ids, the index
+    pairs (iu < ju positionally via triu) that are MUTUAL top-k neighbors,
+    and the full cosine matrix — or ``None`` when the cell holds < 2
+    vectors (no pairs possible).
+
+    Bit-exactness contract (the reason p38 and p40 share THIS function):
+    the pair dot product folds ``acc += v_a[d] * v_b[d]`` strictly
+    left-to-right from a 0.0 accumulator — the same IEEE sequence as the
+    SQL ``aggregate(zip_with(..), 0.0, (acc, p) -> acc + p)``; cosine is
+    one divide by ``sqrt(nrm_a * nrm_b)``; the top-k order (cosine DESC,
+    dst_id ASC) is the oracle window's ROW_NUMBER order via lexsort; the
+    pair matrix is blocked to ~32 MB regardless of cell size."""
+    import numpy as np
+
+    m = len(pdf)
+    if m < 2:
+        return None
+    ids = pdf["vec_id"].to_numpy()
+    V = np.stack(pdf["v"].to_numpy())  # (m, 64) float64
+    nrm = pdf["nrm"].to_numpy()
+    # strict left-to-right fold per pair (== the SQL aggregate
+    # bit-for-bit), blocked so the (blk, m) accumulator stays small
+    C = np.empty((m, m), dtype=np.float64)
+    blk = max(1, (32 << 20) // (m * 8))
+    for s in range(0, m, blk):
+        e = min(s + blk, m)
+        acc = np.zeros((e - s, m), dtype=np.float64)
+        for d in range(V.shape[1]):
+            acc += V[s:e, None, d] * V[None, :, d]
+        C[s:e] = acc
+    C /= np.sqrt(nrm[:, None] * nrm[None, :])
+    np.fill_diagonal(C, -np.inf)  # self-pairs sort last, never picked
+    # ROW_NUMBER over (cosine DESC, dst_id ASC): lexsort, last key primary
+    order = np.lexsort((np.broadcast_to(ids, (m, m)), -C), axis=1)
+    top = order[:, : min(k, m - 1)]
+    K = np.zeros((m, m), dtype=bool)
+    K[np.arange(m)[:, None], top] = True
+    iu, ju = np.nonzero(np.triu(K & K.T, 1))
+    return ids, iu, ju, C
 
 
 # ---------------------------------------------------------------------------
@@ -1205,45 +1229,80 @@ def p40_semantic_clusters(spark, sf_dir):
     keep/drop table (the embedding-space twin of p09's n-gram-Jaccard
     clustering).
 
-    Spark plan: p38's graph (cell-bucketed candidate generation, one
-    scoring pass, mutuality by hash-agg) feeds dedup.connected_components
-    — iterative min-label propagation, one (id, label)-long shuffle per
-    round, lineage truncated per round, convergence by aggregate count.
-    Mutual-kNN components are shallow (degree <= {_P38_K}, mutuality
-    prunes hub chains), so rounds ~ graph diameter stays single-digit.
+    r9 optimization-round plan (guide §1.2 — change the distributed
+    algorithm before tuning it): EVERY p38 edge is intra-cell by
+    construction — candidate pairs come from the ``a.cell = b.cell``
+    equi-join and a vector hashes to exactly ONE LSH cell — so no
+    component of the mutual-kNN graph can ever span two cells.  The
+    global connected components therefore decompose exactly into
+    per-cell connected components, and the whole operator collapses into
+    the SAME single-exchange shape as p38: scan → cell kernel →
+    Exchange(cell) → per-cell mutual-top-k (the shared
+    :func:`_cell_mutual_topk` numerics — bit-identical edges) + a
+    union-find over the ≤ {_P38_K}·m/2 intra-cell edges → labels, sizes
+    and representatives emitted directly.  The r8 formulation ran the
+    Kiveris large-star/small-star loop over the global edge set — 4-6
+    checkpointed shuffle rounds plus a label/size/join assembly (14
+    exchanges across 5+ jobs at sf0.1); all of that is now one job with
+    two exchanges (hash(cell) + the presentation sort).  p09 still
+    exercises the general-graph ``dedup.connected_components`` loop,
+    whose edges (n-gram Jaccard pairs) are NOT partition-confined.
+
     Valid singleton vectors are their own cluster, exactly as the
-    oracle's nodes seed.  The DuckDB oracle runs the IDENTICAL graph
+    oracle's nodes seed (the kernel sees every vector of its cell,
+    edge-adjacent or not).  The DuckDB oracle runs the IDENTICAL graph
     statement through a WITH RECURSIVE transitive closure — full value
-    parity for the iterative distributed algorithm (p09's verification
-    pattern).
+    parity for the distributed algorithm (p09's verification pattern).
 
-    Scale: every round's shuffle carries two longs per vector — never
-    embeddings; candidate cost is p38's (linear via corpus-driven
-    cells); at 100 TB the components loop is bounded by the mutual
-    graph's tiny diameter, not the corpus.
+    Scale: one shuffle of (vec_id, v, nrm) by cell — the same bytes p38
+    moves; per-cell work is O(cell² · dim) for the cosine matrix (already
+    p38's cost) plus O(cell · α(cell)) for the union-find; kbits pins
+    E[cell] ≈ {_P38_CELL} at any corpus size, so the operator stays
+    linear at 100 TB with NO iterative rounds at all.
     """
-    from pyspark.sql import functions as F
+    import numpy as np
+    import pandas as pd
 
-    from sqlrs_spark.operators.dedup import connected_components
+    cells = p38_cells(spark, sf_dir)
+    k = _P38_K
 
-    register_views(spark, sf_dir, ("embeddings",))
-    edges = _p38_mutual_edges(spark, sf_dir).selectExpr("src_id AS a", "dst_id AS b")
-    nodes = (
-        spark.table("embeddings")
-        .where(EMB_VALID_SPARK)
-        .selectExpr("vec_id AS doc_id")
-    )
-    labels = connected_components(edges, nodes).selectExpr(
-        "doc_id AS vec_id", "cluster_id"
-    )
-    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    def cell_labels(key, pdf):
+        ids = pdf["vec_id"].to_numpy()
+        m = len(ids)
+        parent = list(range(m))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]  # path halving
+                i = parent[i]
+            return i
+
+        r = _cell_mutual_topk(pdf, k)
+        if r is not None:
+            _, iu, ju, _ = r
+            for i, j in zip(iu.tolist(), ju.tolist()):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[rj] = ri
+        roots = np.fromiter((find(i) for i in range(m)), dtype=np.int64, count=m)
+        grp = pd.Series(ids).groupby(roots)
+        cluster_id = grp.transform("min").to_numpy()
+        cluster_size = grp.transform("size").to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": cluster_id,
+                "cluster_size": cluster_size,
+                "is_representative": ids == cluster_id,
+            }
+        )
+
     return (
-        labels.join(sizes, "cluster_id")
-        .select(
-            "vec_id",
-            "cluster_id",
-            "cluster_size",
-            (F.col("vec_id") == F.col("cluster_id")).alias("is_representative"),
+        cells.groupBy("cell")
+        .applyInPandas(
+            cell_labels,
+            schema="vec_id bigint, cluster_id bigint, cluster_size bigint,"
+            " is_representative boolean",
         )
         .orderBy("vec_id")
     )

@@ -529,6 +529,57 @@ def test_p38_single_scoring_pass_and_no_unbounded_nlj(spark, sf_dir):
     assert len(hash_ex) == 1 and "cell" in hash_ex[0], hash_ex
 
 
+def test_p40_single_cell_kernel_no_iterative_rounds(spark, sf_dir):
+    """p40's components are computed INSIDE the per-cell kernel (r9
+    optimization round): every p38 edge is intra-cell by construction
+    (candidates come from the a.cell = b.cell equi-join and a vector
+    hashes to exactly one cell), so no component spans cells and the
+    whole operator must plan like p38 — one FlatMapGroupsInPandas
+    behind one hash(cell) exchange plus the presentation sort; no
+    joins, no windows, no checkpointed loop state (Scan ExistingRDD
+    was the r8 star-loop's pinned-edge signature)."""
+    df = SPECS["p40_semantic_clusters"].fn(spark, sf_dir)
+    s = explain_str(df)
+    assert count_nodes(df, "FlatMapGroupsInPandas") == 1, "one cell kernel"
+    assert count_nodes(df, "Window") == 0
+    joins = (
+        count_nodes(df, "SortMergeJoin")
+        + count_nodes(df, "ShuffledHashJoin")
+        + count_nodes(df, "BroadcastHashJoin")
+        + count_nodes(df, "BroadcastNestedLoopJoin")
+    )
+    assert joins == 0, f"labels must be kernel-local, saw {joins} joins"
+    assert "Scan ExistingRDD" not in s, "no pinned iterative loop state"
+    hash_ex = [ln for ln in s.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert len(hash_ex) == 1 and "cell" in hash_ex[0], hash_ex
+
+
+def test_p40_labels_match_general_cc_loop(spark, sf_dir):
+    """Equivalence of the fused per-cell union-find against the general
+    large-star/small-star loop (dedup.connected_components) on the SAME
+    p38 edge set — the two implementations must label every vector
+    identically (cluster ids are component minima in both)."""
+    from sqlrs_spark.operators.common import EMB_VALID_SPARK
+    from sqlrs_spark.operators.dedup import connected_components
+    from sqlrs_spark.operators.similarity import _p38_mutual_edges
+    from sqlrs_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("embeddings",))
+    edges = _p38_mutual_edges(spark, sf_dir).selectExpr("src_id AS a", "dst_id AS b")
+    nodes = (
+        spark.table("embeddings").where(EMB_VALID_SPARK).selectExpr("vec_id AS doc_id")
+    )
+    want = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(edges, nodes).collect()
+    }
+    got = {
+        r.vec_id: r.cluster_id
+        for r in SPECS["p40_semantic_clusters"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_m09_alignment_is_windowed_not_pair_joined(spark, sf_dir):
     """m09's as-of must be the tagged-window carry-forward: no pair join
     between keyframes and windows (SortMergeJoin/NestedLoop would put
