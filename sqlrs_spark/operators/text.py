@@ -18,7 +18,11 @@ import pandas as pd
 
 from sqlrs_spark.functions.hashing import P31, h31_duck, h31_spark
 from sqlrs_spark.registry import register
-from sqlrs_spark.sources.tables import load_table, register_views
+from sqlrs_spark.sources.tables import (
+    load_table,
+    register_parallelized,
+    register_views,
+)
 
 # words-per-language scoring lists (tiny built-in stopword lists; a real
 # pipeline would ship larger lists — the plan shape is identical)
@@ -1336,6 +1340,16 @@ def p33_span_scrub(spark, sf_dir):
     token covered by a 5-token span shared by >= 3 documents and emit
     the scrubbed text's digest — the transformation twin of t10/t11's
     boilerplate scores.  Beyond-reference: extends the pipeline dedup
-    family with span-granular exact-substring removal."""
+    family with span-granular exact-substring removal.
+
+    r9: the documents view opts into the unsplittable-input repartition
+    (sources.tables.register_parallelized) — p33's per-row cost is
+    ~n_tokens md5+conv evaluations per document (once per gram start, in
+    BOTH subtree copies of the starts CTE), so a single-row-group input
+    file pinned the whole gram pass to one core.  Measured same-session
+    interleaved at sf0.1/32 cores: {3.35, 2.76, 2.88, 2.62} s →
+    {1.90, 1.41, 1.34, 1.42} s (~2x).  No-op on splittable layouts (the
+    trigger is measured row-group count vs session parallelism)."""
     register_views(spark, sf_dir, ("documents",))
+    register_parallelized(spark, sf_dir, "documents")
     return spark.sql(_p33(True))
