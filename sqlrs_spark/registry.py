@@ -59,90 +59,72 @@ def register(
 # t01-t08/t10, m01/m02/m04/m06, s01-s07 keep their green r2 rows + the
 # local parity suite).  Rotated in, by reason:
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-8 curation (first commit of the round — VERDICT r7 #2).  The
-    # staleness lint's off-by-one was fixed alongside (r7 ADVICE high:
-    # threshold is now latest < R - (C - 1), effective cadence C as
-    # advertised), so this window is exactly the lint's r8 claim:
-    # (a) the 8 r5-latest TIER-1 (bench-flagged, cadence <=3) entries:
-    "q01_pricing_summary",
-    "q06_simple_agg",
-    "q22_volume_shipping",
-    "q34_min_cost_supplier",
-    "t01_token_count",
-    "t09_unicode_clean",
-    "x12_asof_join",
-    "x18_funnel",
-    # (b) the 24 r4-latest TIER-2 (pipeline, cadence <=4) entries — the
-    # deferred-r4 tail registry.py has named since r7, due in full now:
-    "p02_dedup_minhash",
-    "p03_dedup_simhash",
-    "p05_dedup_embedding",
-    "p07_ann_lsh",
-    "p08_ann_ivf",
-    "p12_stratified_sample",
-    "p14_domain_mix",
-    "p15_ann_multiprobe",
-    "p17_decontaminate",
-    "p21_fuzzy_vocab",
-    "p22_temperature_mix",
-    "p27_cdc_upsert",
-    "s02_stream_stateful_sessions",
-    "s03_stream_sliding",
-    "s04_stream_dedup",
-    "s05_stream_static_join",
-    "s06_stream_funnel",
-    "s07_stream_stream_join",
-    "s10_stream_session_window",
-    "t02_language_id",
-    "t07_pattern_scrub",
-    "t08_quality_rules",
-    "t10_boilerplate",
-    "t13_ngram_containment",
-    # (c) the 5 REWRITE_DEBT(7) entries not already claimed by (b)
-    # (p05/p07/p08/p15/s02/s03 are in (b); rotating all 11 empties the
-    # debt dict — the events-sweep rewrites finally get fresh rows):
-    "s11_stream_cdc_apply",
-    "s12_stream_scd2",
-    "x31_range_join_bucketed",
-    "x32_scd2_history",
-    "x33_interval_union",
-    # (d) 13 prefills from the r9-due set (tier-2 r5-latest, tier-3
-    # r4-latest, and two r6 tier-1 bench entries), smoothing next round's
-    # demand.  These are the SWAP POOL: a mid-round rewrite (star-schema
-    # degenerate sweep, new ops) takes a slot from here first — every
-    # prefill keeps a row legal under its tier cadence until r9:
-    "p10_dedup_canonical",
-    "s08_stream_foreachbatch_sink",
-    "p16_dedup_minhash_capped",
-    # (d') optimization-round-8 rewrite: p33's Spark dialect moved to
-    # per-doc interval arithmetic (no token-granular shuffles) — takes
-    # q03's pool slot (q03 is code-identical since its r6 row and stays
-    # r9-claimable like the other displaced prefills):
+    # Round-9 curation (optimization round 2).  Exactly the
+    # tools/window_due.py claim for r9 plus this round's rewrites plus
+    # prefills from the r10-due set (the same smoothing r8 used):
+    # (a) the 17 entries window_due names for r9 (tier-1 r6-latest,
+    # tier-2 r5-latest, tier-3 r4-latest — p20 was REWRITE_DEBT(8), its
+    # rotation empties the debt dict):
+    "p01_dedup_exact",
+    "p11_corpus_pipeline",
+    "p13_token_budget_pack",
+    "p20_tfidf_terms",
+    "p25_split_assign",
+    "p28_filter_cascade",
+    "p29_snapshot_diff",
+    "q03_shipping_priority",
+    "q05_local_volume",
+    "q25_large_orders",
+    "q28_nation_profit",
+    "s09_stream_stream_outer_join",
+    "t11_ngram_novelty",
+    "t12_unigram_lm_score",
+    "t14_vocab_growth",
+    "v04_csv_roundtrip",
+    "x28_qualify_topk",
+    # (b) this round's optimization rewrites (the rewrite lint's claim —
+    # every one already re-proven vs its unchanged DuckDB oracle at
+    # sf0.001/0.01/0.1 in-round): p40 fused per-cell connected
+    # components, p38 shares the refactored _cell_mutual_topk kernel,
+    # p33 opts into the unsplittable-input scan repartition:
     "p33_span_scrub",
-    # (e) mid-round-8 rewrites, swapped in from the pool above (displacing
-    # t14_vocab_growth, x28_qualify_topk, p25, p28, p29, t11, t12 — all
-    # still r9-claimable).  p38: corpus-driven plane pool (r7 verdict #4).
-    # x07/s08/s05: NaN-purchase guard (degenerate-events user 12 — s08 and
-    # s05 keep their existing slots above).  q30/v15/x02/x15/x24: the r8
-    # star-schema sweep's six divergence fixes (q34, the sixth, holds its
-    # tier-1 slot in (a); its fix lives in common.unpack_id/unpack_value,
-    # which also serves p10 — kept in the pool above for the same reason).
     "p38_knn_graph",
-    "x07_conditional_pivot",
-    "q30_customer_distribution",
-    "v15_corrupt_csv",
-    "x02_anti_join",
-    "x15_approx_sketches",
-    "x24_dist_windows",
-    # (f) NEW operator this round (displacing prefill s09, r9-claimable):
-    # p40 = SemDeDup connected components over p38's mutual-kNN edges,
-    # bench-flagged from birth (r7 verdict #8's one-op allowance).  p09
-    # rides along (displacing prefill v04): connected_components now
-    # localCheckpoints the edge list — without it every propagation round
-    # re-executed the lazy edge plan (p40's first bench run: 76.9s at
-    # sf0.1; 12.2s with edges pinned):
     "p40_semantic_clusters",
-    "p09_dedup_clusters",
+    # (c) 30 prefills from the 31-entry r10-due set (window_due
+    # --next-round 10), so next round's mandatory demand shrinks to the
+    # one remaining entry (x30) plus whatever r9 itself rewrites.
+    # Tier-1 first (p06), then the r6-latest tier-2 pipeline block, the
+    # r5-latest tier-3 q/v/x tail:
+    "p06_ann_bruteforce",
+    "m09_av_keyframe_align",
+    "p31_incremental_dedup",
+    "p32_source_overlap_matrix",
+    "p34_incremental_agg",
+    "p36_curriculum_order",
+    "p37_domain_cap_select",
+    "p39_target_mix_resample",
+    "t15_token_concentration",
+    "q17_join_residual",
+    "q19_disjunctive_pred",
+    "q21_top_supplier",
+    "q23_market_share",
+    "q24_promo_effect",
+    "q31_top_supplier",
+    "q32_small_qty_revenue",
+    "q33_supplier_cnt",
+    "q36_waiting_suppliers",
+    "q38_excess_suppliers",
+    "v02_dummy_scan",
+    "v05_catalog_tables",
+    "v06_ctas",
+    "v07_catalog_columns",
+    "v08_replacement_scan",
+    "v13_schema_evolution",
+    "v14_gzip_jsonl_source",
+    "x01_semi_join",
+    "x03_set_ops",
+    "x05_expressions",
+    "x29_numeric_range_windows",
 )
 
 
@@ -156,20 +138,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # DRIVER_WINDOW and emptied the dict — keep it empty unless a mid-round
 # rewrite genuinely cannot claim a window slot.
 REWRITE_DEBT: dict[str, int] = {
-    # Round-8 curation rotated all eleven round-7 debt entries (p05/p07/
-    # p08/p15, x31-x33, s02/s03/s11/s12) into DRIVER_WINDOW — debt paid.
-    # A mid-round rewrite should take a slot from the window's swap pool
-    # (section (d)) before registering new debt here — but by the r8
-    # optimization round every pool slot already holds a rewritten entry
-    # (p10/q34's unpack fix, s08/s05's NaN guard, p16's checkpoint
-    # rewrite, p33's interval rewrite), so the optimization rewrites
-    # below use the escape hatch and are r9's first rotation claim:
-    #
-    # p20: df derived from the tf aggregate via a window — one explode
-    # pass instead of two, vocab broadcast removed (optimization r8;
-    # results proven bit-identical vs the unchanged DuckDB oracle at
-    # sf0.001/0.01/0.1 in-round).
-    "p20_tfidf_terms": 8,
+    # Round-9 curation rotated p20 (the r8 optimization round's one debt
+    # entry) into DRIVER_WINDOW — debt paid.  This round's own rewrites
+    # (p33/p38/p40) hold window slots directly, so the dict stays empty.
 }
 
 
