@@ -415,11 +415,15 @@ def _star_step(df, large: bool, dedupe: bool = True):
     ``dedupe=False`` (guide §2.4, measured −12% per p40 execution at
     sf0.1): a round chains LS then SS, and SS's window re-groups by src
     regardless, so duplicate edges out of LS cannot change any per-src
-    minimum — skipping LS's distinct drops one exchange per round and the
-    round-final SS distinct still emits a deduplicated edge set.
-    Duplicate growth is bounded within the round: LS emits at most one
-    pair per input edge row, so SS sees ≤ 2x rows, never a compounding
-    blowup (the round output IS deduplicated before the next round).
+    minimum — skipping LS's distinct drops one exchange per round.
+    Duplicate growth bound (r8 ADVICE correction): dedup now happens only
+    at PIN boundaries (:func:`_pin_star_round`), not per round — each
+    unpinned LS+SS pair emits ≤ 2 rows per input edge row (LS ≤ 1, SS ≤ 2
+    counting the self re-attach), so rows shuffled can grow up to
+    ~2^rounds_per_pin within a batch before the pin's distinct collapses
+    them.  Exchange COUNT per round is unchanged, shuffled ROWS are not —
+    at the shipped rounds_per_pin=2 that is ≤ 4x one round's edges, and
+    any future rpp tuning must budget for the geometric factor.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -578,6 +582,11 @@ def connected_components(
     """
     from pyspark.sql import functions as F
 
+    if rounds_per_pin < 1:
+        # r8 ADVICE: with rounds_per_pin <= 0 the inner batch loop runs
+        # zero iterations, rounds never increments, and the while loop
+        # re-pins the same unconverged edge set forever.
+        raise ValueError(f"rounds_per_pin must be >= 1, got {rounds_per_pin}")
     e, converged = _pin_star_round(
         edges.selectExpr("a AS src", "b AS nbr")
         .unionByName(edges.selectExpr("b AS src", "a AS nbr"))

@@ -86,15 +86,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # every one already re-proven vs its unchanged DuckDB oracle at
     # sf0.001/0.01/0.1 in-round): p40 fused per-cell connected
     # components, p38 shares the refactored _cell_mutual_topk kernel,
-    # p33 opts into the unsplittable-input scan repartition:
+    # p33 opts into the unsplittable-input scan repartition, and p09
+    # rides along because the r8-ADVICE rounds_per_pin validation landed
+    # in connected_components (same-module closure of p09's fn):
     "p33_span_scrub",
     "p38_knn_graph",
     "p40_semantic_clusters",
-    # (c) 30 prefills from the 31-entry r10-due set (window_due
+    "p09_dedup_clusters",
+    # (c) 29 prefills from the 31-entry r10-due set (window_due
     # --next-round 10), so next round's mandatory demand shrinks to the
-    # one remaining entry (x30) plus whatever r9 itself rewrites.
-    # Tier-1 first (p06), then the r6-latest tier-2 pipeline block, the
-    # r5-latest tier-3 q/v/x tail:
+    # two remaining entries (x30, v02 — displaced for p09 above) plus
+    # whatever r9 itself rewrites.  Tier-1 first (p06), then the
+    # r6-latest tier-2 pipeline block, the r5-latest tier-3 q/v/x tail:
     "p06_ann_bruteforce",
     "m09_av_keyframe_align",
     "p31_incremental_dedup",
@@ -114,7 +117,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q33_supplier_cnt",
     "q36_waiting_suppliers",
     "q38_excess_suppliers",
-    "v02_dummy_scan",
     "v05_catalog_tables",
     "v06_ctas",
     "v07_catalog_columns",

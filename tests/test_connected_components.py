@@ -116,6 +116,19 @@ def test_cc_rounds_per_pin_equivalent_and_budget_exact(spark):
         connected_components(edges, nodes, max_iters=3, rounds_per_pin=2).collect()
 
 
+def test_cc_rounds_per_pin_validated(spark):
+    # r8 ADVICE: rounds_per_pin <= 0 used to loop forever (the inner
+    # batch range ran zero iterations so `rounds` never advanced);
+    # must raise at entry instead.
+    from sqlrs_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], "a long, b long")
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="rounds_per_pin"):
+            connected_components(edges, nodes, rounds_per_pin=bad)
+
+
 def test_cc_unconverged_raises(spark):
     # certification: a graph that cannot finish in the given budget must
     # raise, never return silently-wrong labels (the r7 failure mode).
